@@ -1,0 +1,131 @@
+"""Buffer kernels (pure numpy).
+
+The reference buffers with GEOS (`buffer_dissolve_explode.py:523-558`,
+resolution=30 quad segments; `neighbors.py:130-138` buffers the left side for
+max_distance joins).  Without GEOS we provide:
+
+  * point buffer  — exact regular 4*quad_segs-gon inscribed approximation of
+    the circle, same discretization contract as GEOS (vertices ON the circle).
+  * polygon/line "ring expansion" for join candidate generation — candidate
+    radius handling is done in cell space (expand bbox by distance), which is
+    what the distance joins actually need; an exact rounded-offset polygon
+    buffer is only required for geometry OUTPUT, implemented for convex rings
+    (edge offset + circular arcs at vertices).
+
+Concave-polygon exact buffers are out of scope this round (would need a full
+offset-curve algorithm); the engine raises so callers fall back to the
+distance-based join path, which is exact.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .array import GeomArray, POLYGON, from_rings, points as make_points
+
+
+def point_buffer(xy: np.ndarray, radius, quad_segs: int = 30) -> GeomArray:
+    """Buffer n points into n regular polygons. radius scalar or float64[n]."""
+    xy = np.asarray(xy, dtype=np.float64).reshape(-1, 2)
+    n = len(xy)
+    m = 4 * quad_segs
+    radius = np.broadcast_to(np.asarray(radius, dtype=np.float64), (n,))
+    ang = np.linspace(0.0, 2.0 * np.pi, m, endpoint=False)
+    ux, uy = np.cos(ang), np.sin(ang)
+    px = xy[:, 0:1] + radius[:, None] * ux[None, :]
+    py = xy[:, 1:2] + radius[:, None] * uy[None, :]
+    # close rings
+    coords = np.empty((n, m + 1, 2), dtype=np.float64)
+    coords[:, :m, 0] = px
+    coords[:, :m, 1] = py
+    coords[:, m] = coords[:, 0]
+    flat = coords.reshape(-1, 2)
+    ring_offsets = np.arange(0, (n + 1) * (m + 1), m + 1, dtype=np.int64)
+    one = np.arange(n + 1, dtype=np.int64)
+    return GeomArray(np.full(n, POLYGON, dtype=np.int8), flat,
+                     ring_offsets, one.copy(), one.copy())
+
+
+def _is_convex_ccw(ring: np.ndarray) -> bool:
+    r = ring[:-1]
+    a = np.roll(r, -1, axis=0) - r
+    b = np.roll(a, -1, axis=0)
+    cross = a[:, 0] * b[:, 1] - a[:, 1] * b[:, 0]
+    return bool((cross >= 0).all())
+
+
+def convex_ring_buffer(ring: np.ndarray, dist: float, quad_segs: int = 8) -> np.ndarray:
+    """Positive buffer of one convex CCW ring: offset edges outward, join
+    with arcs at vertices. Returns a closed ring."""
+    r = ring[:-1]
+    nxt = np.roll(r, -1, axis=0)
+    e = nxt - r
+    ln = np.hypot(e[:, 0], e[:, 1])
+    keep = ln > 0
+    r, nxt, e, ln = r[keep], nxt[keep], e[keep], ln[keep]
+    # outward normal for CCW ring = (dy, -dx)/len
+    nrm = np.stack([e[:, 1] / ln, -e[:, 0] / ln], axis=1)
+    p_start = r + dist * nrm
+    p_end = nxt + dist * nrm
+    out = []
+    n = len(r)
+    for i in range(n):
+        out.append(p_start[i])
+        out.append(p_end[i])
+        # arc at vertex nxt[i] from normal i to normal i+1
+        n0 = nrm[i]
+        n1 = nrm[(i + 1) % n]
+        a0 = np.arctan2(n0[1], n0[0])
+        a1 = np.arctan2(n1[1], n1[0])
+        sweep = a1 - a0
+        while sweep > 0:
+            sweep -= 2 * np.pi  # CCW ring turns clockwise in normal angle? keep shortest negative
+        while sweep < -np.pi:
+            sweep += 2 * np.pi
+        # exterior angle of convex CCW ring: normals rotate CCW; recompute properly
+        sweep = a1 - a0
+        while sweep < 0:
+            sweep += 2 * np.pi
+        if sweep > np.pi:  # reflex would mean concave; clamp
+            sweep -= 2 * np.pi
+        steps = max(int(np.ceil(abs(sweep) / (np.pi / 2 / quad_segs))), 1)
+        angs = a0 + sweep * np.arange(1, steps) / steps
+        for a in angs:
+            out.append(nxt[i] + dist * np.array([np.cos(a), np.sin(a)]))
+    out.append(out[0])
+    return np.asarray(out)
+
+
+def buffer(ga: GeomArray, dist, quad_segs: int = 30) -> GeomArray:
+    """Buffer a GeomArray. Points: exact n-gon. Convex polygons: offset+arc.
+    Others: NotImplementedError (distance joins don't need geometry buffers)."""
+    dist = np.broadcast_to(np.asarray(dist, dtype=np.float64), (len(ga),))
+    kinds = ga.kinds
+    counts = ga.coords_count_per_geom()
+    if bool((counts == 1).all()):
+        starts = ga.coords_start_per_geom()
+        return point_buffer(ga.coords[starts], dist, quad_segs)
+    ring_lists, out_kinds = [], []
+    for g in range(len(ga)):
+        if counts[g] == 1:
+            s = ga.coords_start_per_geom()[g]
+            pb = point_buffer(ga.coords[s:s + 1], dist[g:g + 1], quad_segs)
+            ring_lists.append([[pb.coords]])
+            out_kinds.append(POLYGON)
+            continue
+        if int(kinds[g]) != POLYGON:
+            raise NotImplementedError(
+                "buffer of non-point, non-convex-polygon geometries is not "
+                "supported without GEOS; use distance-based joins instead")
+        rings = ga.rings_of_geom(g)
+        ext = rings[0]
+        # normalize to CCW
+        x, y = ext[:-1, 0], ext[:-1, 1]
+        area2 = float((x * np.roll(y, -1) - np.roll(x, -1) * y).sum())
+        if area2 < 0:
+            ext = ext[::-1]
+        if not _is_convex_ccw(ext):
+            raise NotImplementedError("concave polygon buffer not supported")
+        ring_lists.append([[convex_ring_buffer(ext, float(dist[g]), quad_segs)]])
+        out_kinds.append(POLYGON)
+    return from_rings(ring_lists, out_kinds)

@@ -1,0 +1,430 @@
+"""Polygon boolean operations (intersection / union / difference) in pure
+python/numpy — the kernel behind clean_overlay, clip and dissolve-union.
+
+The reference delegates these to GEOS (`overlay.py:394-410` rowwise
+`shapely.intersection/difference`; `utils.py:10-14` union_all).  Without GEOS
+we implement:
+
+  * Sutherland–Hodgman for subject x CONVEX clipper (the gridloop/clip path —
+    grid cells are rectangles, the dominant case at scale), and
+  * Greiner–Hormann for general simple-polygon pairs, with the reference's
+    retry-ladder idea (`runners.py:308-383` GridSizeOverlayRunner) re-expressed
+    as an epsilon-perturbation ladder for degenerate vertex-on-edge inputs.
+
+Scope: simple polygons (holes supported via composition in `poly_boolean`).
+Exactness for the oracle-checked paths comes from axis-aligned inputs where
+Sutherland–Hodgman arithmetic is exact; general pairs are covered by pytest
+goldens with analytic-area oracles (circle lens areas).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def ring_area(ring: np.ndarray) -> float:
+    x, y = ring[:-1, 0], ring[:-1, 1]
+    x1, y1 = ring[1:, 0], ring[1:, 1]
+    return float((x * y1 - x1 * y).sum()) / 2.0
+
+
+def ensure_ccw(ring: np.ndarray) -> np.ndarray:
+    return ring if ring_area(ring) >= 0 else ring[::-1]
+
+
+def ensure_closed(ring: np.ndarray) -> np.ndarray:
+    if len(ring) and not np.array_equal(ring[0], ring[-1]):
+        return np.vstack([ring, ring[:1]])
+    return ring
+
+
+# ---------------------------------------------------------------------- #
+# Sutherland–Hodgman (convex clipper)
+# ---------------------------------------------------------------------- #
+def clip_ring_convex(subject: np.ndarray, clipper: np.ndarray) -> np.ndarray | None:
+    """Clip subject ring by convex CCW clipper ring. Both closed.
+    Returns closed ring or None if empty."""
+    poly = subject[:-1]
+    cl = ensure_ccw(ensure_closed(clipper))
+    for i in range(len(cl) - 1):
+        if len(poly) == 0:
+            return None
+        a, b = cl[i], cl[i + 1]
+        ex, ey = b[0] - a[0], b[1] - a[1]
+        px = poly[:, 0] - a[0]
+        py = poly[:, 1] - a[1]
+        side = ex * py - ey * px  # >=0 -> inside (left of edge)
+        nxt = np.roll(side, -1)
+        pts_next = np.roll(poly, -1, axis=0)
+        out = []
+        for j in range(len(poly)):
+            cur_in = side[j] >= 0
+            nxt_in = nxt[j] >= 0
+            if cur_in:
+                out.append(poly[j])
+            if cur_in != nxt_in:
+                denom = side[j] - nxt[j]
+                t = side[j] / denom if denom != 0 else 0.0
+                out.append(poly[j] + t * (pts_next[j] - poly[j]))
+        poly = np.asarray(out) if out else np.zeros((0, 2))
+    if len(poly) < 3:
+        return None
+    ring = np.vstack([poly, poly[:1]])
+    if abs(ring_area(ring)) == 0.0:
+        return None
+    return ring
+
+
+def is_convex(ring: np.ndarray) -> bool:
+    r = ensure_ccw(ensure_closed(ring))[:-1]
+    a = np.roll(r, -1, axis=0) - r
+    b = np.roll(a, -1, axis=0)
+    cross = a[:, 0] * b[:, 1] - a[:, 1] * b[:, 0]
+    return bool((cross >= 0).all())
+
+
+# ---------------------------------------------------------------------- #
+# Greiner–Hormann (general simple rings)
+# ---------------------------------------------------------------------- #
+class _V:
+    __slots__ = ("xy", "nxt", "prv", "inter", "entry", "alpha",
+                 "neighbor", "visited")
+
+    def __init__(self, xy, inter=False, alpha=0.0):
+        self.xy = (float(xy[0]), float(xy[1]))
+        self.nxt = self.prv = None
+        self.inter = inter
+        self.entry = False
+        self.alpha = alpha
+        self.neighbor = None
+        self.visited = False
+
+
+def _build(ring: np.ndarray) -> _V:
+    verts = [_V(p) for p in ring[:-1]]
+    n = len(verts)
+    for i, v in enumerate(verts):
+        v.nxt = verts[(i + 1) % n]
+        v.prv = verts[(i - 1) % n]
+    return verts[0]
+
+
+def _iter(head: _V):
+    v = head
+    while True:
+        yield v
+        v = v.nxt
+        if v is head:
+            break
+
+
+def _insert_sorted(a: _V, b: _V, v: _V):
+    """Insert intersection v between original vertices a..b ordered by alpha."""
+    c = a
+    while c.nxt is not b and c.nxt.inter and c.nxt.alpha <= v.alpha:
+        c = c.nxt
+    v.nxt = c.nxt
+    v.prv = c
+    c.nxt.prv = v
+    c.nxt = v
+
+
+def _pt_in_ring(pt, ring: np.ndarray) -> bool:
+    x, y = pt
+    x1, y1 = ring[:-1, 0], ring[:-1, 1]
+    x2, y2 = ring[1:, 0], ring[1:, 1]
+    cond = (y1 > y) != (y2 > y)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = (x2 - x1) * (y - y1) / (y2 - y1) + x1
+    return bool((cond & (x < xint)).sum() % 2 == 1)
+
+
+class DegenerateIntersection(Exception):
+    pass
+
+
+_EPS = 1e-11
+
+
+def _gh_once(ra: np.ndarray, rb: np.ndarray, op: str) -> list[np.ndarray]:
+    ra = ensure_ccw(ensure_closed(ra))
+    rb = ensure_ccw(ensure_closed(rb))
+    A = _build(ra)
+    B = _build(rb)
+    a_orig = [v for v in _iter(A)]
+    b_orig = [v for v in _iter(B)]
+    found = False
+    for va in a_orig:
+        p1 = np.array(va.xy)
+        p2 = np.array(va.nxt.xy if not va.nxt.inter else _next_orig(va).xy)
+        va_next = _next_orig(va)
+        p2 = np.array(va_next.xy)
+        for vb in b_orig:
+            vb_next = _next_orig(vb)
+            q1 = np.array(vb.xy)
+            q2 = np.array(vb_next.xy)
+            d = (p2 - p1)
+            e = (q2 - q1)
+            denom = d[0] * e[1] - d[1] * e[0]
+            if denom == 0:
+                # parallel: collinear overlap is degenerate
+                cross = (q1 - p1)[0] * d[1] - (q1 - p1)[1] * d[0]
+                if cross == 0 and _overlap_1d(p1, p2, q1, q2):
+                    raise DegenerateIntersection("collinear overlap")
+                continue
+            t = ((q1 - p1)[0] * e[1] - (q1 - p1)[1] * e[0]) / denom
+            u = ((q1 - p1)[0] * d[1] - (q1 - p1)[1] * d[0]) / denom
+            if -_EPS < t < _EPS or 1 - _EPS < t < 1 + _EPS or \
+               -_EPS < u < _EPS or 1 - _EPS < u < 1 + _EPS:
+                if 0 - _EPS < t < 1 + _EPS and 0 - _EPS < u < 1 + _EPS:
+                    raise DegenerateIntersection("endpoint touch")
+                continue
+            if 0 < t < 1 and 0 < u < 1:
+                pt = p1 + t * d
+                ia = _V(pt, inter=True, alpha=t)
+                ib = _V(pt, inter=True, alpha=u)
+                ia.neighbor = ib
+                ib.neighbor = ia
+                _insert_sorted(va, va_next, ia)
+                _insert_sorted(vb, vb_next, ib)
+                found = True
+    if not found:
+        return _no_cross_result(ra, rb, op)
+    # entry/exit flags
+    a_in_b = _pt_in_ring(A.xy, rb)
+    entry = not a_in_b
+    for v in _iter(A):
+        if v.inter:
+            v.entry = entry
+            entry = not entry
+    b_in_a = _pt_in_ring(B.xy, ra)
+    entry = not b_in_a
+    for v in _iter(B):
+        if v.inter:
+            v.entry = entry
+            entry = not entry
+    # traversal
+    results = []
+    while True:
+        cur = None
+        for v in _iter(A):
+            if v.inter and not v.visited:
+                cur = v
+                break
+        if cur is None:
+            break
+        ring = []
+        start = cur
+        on_subject = True
+        forward = None
+        while True:
+            cur.visited = True
+            if cur.neighbor is not None:
+                cur.neighbor.visited = True
+            if op == "intersection":
+                forward = cur.entry
+            elif op == "union":
+                forward = not cur.entry
+            else:  # difference A - B
+                forward = (not cur.entry) if on_subject else cur.entry
+            ring.append(cur.xy)
+            v = cur
+            while True:
+                v = v.nxt if forward else v.prv
+                if v.inter:
+                    break
+                ring.append(v.xy)
+            cur = v.neighbor
+            on_subject = not on_subject
+            if cur is start or (cur.neighbor is start):
+                break
+            if cur.visited and cur is not start:
+                break
+        arr = np.asarray(ring + [ring[0]])
+        if len(arr) >= 4 and abs(ring_area(arr)) > 0:
+            results.append(arr)
+    return results
+
+
+def _next_orig(v: _V) -> _V:
+    n = v.nxt
+    while n.inter:
+        n = n.nxt
+    return n
+
+
+def _overlap_1d(p1, p2, q1, q2) -> bool:
+    lo1, hi1 = min(p1[0], p2[0]), max(p1[0], p2[0])
+    lo2, hi2 = min(q1[0], q2[0]), max(q1[0], q2[0])
+    if hi1 - lo1 < 1e-300 and hi1 - lo1 == 0:  # vertical: compare y
+        lo1, hi1 = min(p1[1], p2[1]), max(p1[1], p2[1])
+        lo2, hi2 = min(q1[1], q2[1]), max(q1[1], q2[1])
+    return max(lo1, lo2) < min(hi1, hi2)
+
+
+def _no_cross_result(ra, rb, op) -> list[np.ndarray]:
+    a_in_b = _pt_in_ring(ra[0], rb)
+    b_in_a = _pt_in_ring(rb[0], ra)
+    if op == "intersection":
+        if a_in_b:
+            return [ra]
+        if b_in_a:
+            return [rb]
+        return []
+    if op == "union":
+        if a_in_b:
+            return [rb]
+        if b_in_a:
+            return [ra]
+        return [ra, rb]
+    # difference A - B
+    if a_in_b:
+        return []
+    if b_in_a:
+        # hole: exterior ra + reversed rb as hole ring (marked by CW orientation)
+        return [ra, rb[::-1]]
+    return [ra]
+
+
+def ring_boolean(ra: np.ndarray, rb: np.ndarray, op: str,
+                 max_retries: int = 4) -> list[np.ndarray]:
+    """Boolean of two simple rings.  Returns list of rings: CCW = exterior,
+    CW = hole.  Retries with tiny perturbation on degenerate inputs (the
+    epsilon analogue of the reference's grid_size ladder, `runners.py:308-383`)."""
+    eps = 0.0
+    rb_try = rb
+    for attempt in range(max_retries + 1):
+        try:
+            return _normalize_nesting(_gh_once(ra, rb_try, op))
+        except DegenerateIntersection:
+            eps = 1e-9 * (10 ** attempt)
+            rb_try = ensure_closed(rb[:-1] + np.array([eps, eps * 0.7]))
+    raise RuntimeError("polygon boolean failed after perturbation ladder")
+
+
+def _normalize_nesting(rings: list[np.ndarray]) -> list[np.ndarray]:
+    """Orient traced rings by containment depth: even depth -> exterior (CCW),
+    odd depth -> hole (CW).  GH traversal emits arbitrary orientation."""
+    if len(rings) <= 1:
+        if rings and ring_area(rings[0]) < 0:
+            return [rings[0][::-1]]
+        return rings
+    out = []
+    for i, r in enumerate(rings):
+        depth = sum(1 for j, q in enumerate(rings)
+                    if j != i and _pt_in_ring(r[0], q))
+        want_ccw = depth % 2 == 0
+        is_ccw = ring_area(r) >= 0
+        out.append(r if is_ccw == want_ccw else r[::-1])
+    return out
+
+
+def rings_to_polygons(rings: list[np.ndarray]) -> list[list[np.ndarray]]:
+    """Group a flat ring list (CCW exteriors, CW holes) into polygons:
+    each hole is attached to the smallest exterior containing it."""
+    exts = [(i, r) for i, r in enumerate(rings) if ring_area(r) >= 0]
+    holes = [r for r in rings if ring_area(r) < 0]
+    polys = [[r] for _, r in exts]
+    for h in holes:
+        best, best_area = None, np.inf
+        for j, (_, e) in enumerate(exts):
+            if _pt_in_ring(h[0], e):
+                a = ring_area(e)
+                if a < best_area:
+                    best, best_area = j, a
+        if best is not None:
+            polys[best].append(h)
+    return polys
+
+
+def polygon_boolean(parts_a: list[list[np.ndarray]],
+                    parts_b: list[list[np.ndarray]], op: str
+                    ) -> list[list[np.ndarray]]:
+    """Boolean over (multi)polygons with holes, by composition:
+      A ∩ B = ⋃_{i,j} (extAi ∩ extBj)  minus all holes
+      A − B = fold difference of each part of A by every part of B
+      A ∪ B = pairwise-union fold (parts that stay disjoint remain parts)
+    Holes are handled by subtracting them post-hoc (correct when holes do not
+    nest further, which covers overlay/dissolve outputs of simple inputs).
+    """
+    if op == "intersection":
+        out_rings: list[np.ndarray] = []
+        for pa in parts_a:
+            for pb in parts_b:
+                rs = ring_boolean(pa[0], pb[0], "intersection")
+                out_rings.extend(rs)
+        polys = rings_to_polygons(out_rings)
+        holes = [h for pa in parts_a for h in pa[1:]] + \
+                [h for pb in parts_b for h in pb[1:]]
+        return _subtract_holes(polys, holes)
+    if op == "difference":
+        cur = [list(p) for p in parts_a]
+        for pb in parts_b:
+            nxt: list[list[np.ndarray]] = []
+            for pa in cur:
+                rs = ring_boolean(pa[0], pb[0], "difference")
+                ps = rings_to_polygons(rs)
+                for p in ps:
+                    p.extend(pa[1:])  # retain original holes
+                nxt.extend(ps)
+            # holes of B inside A re-add that region? (A − (B \ holeB)) adds back
+            for hb in pb[1:]:
+                add = ring_boolean(hb[::-1], parts_a[0][0], "intersection")
+                for r in add:
+                    nxt.append([r])
+            cur = nxt
+        return cur
+    if op == "union":
+        parts = [list(p) for p in parts_a] + [list(p) for p in parts_b]
+        return union_many(parts)
+    raise ValueError(op)
+
+
+def union_many(parts: list[list[np.ndarray]]) -> list[list[np.ndarray]]:
+    """Iterative pairwise union of polygon parts (with holes carried).
+    O(k^2) worst case; dissolve groups are small after clustering."""
+    parts = [list(p) for p in parts]
+    changed = True
+    while changed:
+        changed = False
+        for i in range(len(parts)):
+            for j in range(i + 1, len(parts)):
+                a, b = parts[i], parts[j]
+                if not _bbox_overlap(a[0], b[0]):
+                    continue
+                rs = ring_boolean(a[0], b[0], "union")
+                exts = [r for r in rs if ring_area(r) >= 0]
+                if len(exts) == 1 and len(rs) >= 1:
+                    new_holes = [r for r in rs if ring_area(r) < 0]
+                    merged = [exts[0]] + new_holes + a[1:] + b[1:]
+                    parts = [p for k, p in enumerate(parts) if k not in (i, j)]
+                    parts.append(merged)
+                    changed = True
+                    break
+            if changed:
+                break
+    return parts
+
+
+def _subtract_holes(polys, holes):
+    if not holes:
+        return polys
+    out = []
+    for p in polys:
+        cur = [p]
+        for h in holes:
+            nxt = []
+            for q in cur:
+                rs = ring_boolean(q[0], h[::-1], "difference")
+                ps = rings_to_polygons(rs)
+                for pp in ps:
+                    pp.extend(q[1:])
+                nxt.extend(ps)
+            cur = nxt
+        out.extend(cur)
+    return out
+
+
+def _bbox_overlap(ra, rb) -> bool:
+    return not (ra[:, 0].max() < rb[:, 0].min() or rb[:, 0].max() < ra[:, 0].min()
+                or ra[:, 1].max() < rb[:, 1].min() or rb[:, 1].max() < ra[:, 1].min())

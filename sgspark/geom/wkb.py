@@ -1,0 +1,265 @@
+"""WKB / WKT codecs <-> GeomArray (pure python/numpy, little-endian ISO WKB).
+
+Parity notes: the engine stores geometry columns as standard WKB
+(`BinaryType`), the same at-rest format shapely/GEOS and GeoParquet use, so
+outputs remain interoperable even though this sandbox has no GEOS.  Parsing
+happens once per Arrow batch inside kernels; coordinates are bulk-copied with
+`np.frombuffer`, not per-vertex Python.
+
+WKT support covers the payloads the document synthesizer emits
+(POINT/LINESTRING/POLYGON/MULTI*), with integer-exact round-trips: integers
+are written without a decimal point so `parse(format(x)) == x` bit-exactly —
+required for the DuckDB-oracle parity strategy (see sgspark/synth.py).
+"""
+
+from __future__ import annotations
+
+import re
+import struct
+
+import numpy as np
+
+from .array import (GeomArray, LINESTRING, MULTILINESTRING, MULTIPOINT,
+                    MULTIPOLYGON, POINT, POLYGON, from_rings)
+
+_HDR = struct.Struct("<BI")
+_D2 = struct.Struct("<2d")
+_I = struct.Struct("<I")
+
+
+# ---------------------------------------------------------------------- #
+# WKB encode
+# ---------------------------------------------------------------------- #
+def _enc_coords(arr: np.ndarray) -> bytes:
+    return np.ascontiguousarray(arr, dtype="<f8").tobytes()
+
+
+def _enc_one(kind: int, parts: list) -> bytes:
+    """parts: for POINT/LINESTRING a single ndarray; POLYGON a list of rings;
+    MULTI*: list of single-geom part payloads."""
+    if kind == POINT:
+        return _HDR.pack(1, 1) + _enc_coords(parts[0][:1])
+    if kind == LINESTRING:
+        c = parts[0]
+        return _HDR.pack(1, 2) + _I.pack(len(c)) + _enc_coords(c)
+    if kind == POLYGON:
+        rings = parts
+        out = [_HDR.pack(1, 3), _I.pack(len(rings))]
+        for r in rings:
+            out.append(_I.pack(len(r)))
+            out.append(_enc_coords(r))
+        return b"".join(out)
+    if kind in (MULTIPOINT, MULTILINESTRING, MULTIPOLYGON):
+        sub_kind = {MULTIPOINT: POINT, MULTILINESTRING: LINESTRING,
+                    MULTIPOLYGON: POLYGON}[kind]
+        out = [_HDR.pack(1, kind), _I.pack(len(parts))]
+        for p in parts:
+            out.append(_enc_one(sub_kind, p if isinstance(p, list) else [p]))
+        return b"".join(out)
+    raise ValueError(f"unsupported kind {kind}")
+
+
+def to_wkb(ga: GeomArray) -> list[bytes]:
+    out = []
+    for g in range(len(ga)):
+        kind = int(ga.kinds[g])
+        p0, p1 = ga.geom_offsets[g], ga.geom_offsets[g + 1]
+        parts = []
+        for p in range(p0, p1):
+            r0, r1 = ga.part_offsets[p], ga.part_offsets[p + 1]
+            rings = [ga.coords[ga.ring_offsets[r]:ga.ring_offsets[r + 1]]
+                     for r in range(r0, r1)]
+            parts.append(rings if kind in (POLYGON, MULTIPOLYGON) else rings[0])
+        if kind in (POINT, LINESTRING):
+            out.append(_enc_one(kind, parts[0] if kind == POLYGON else
+                                ([parts[0]] if not isinstance(parts[0], list) else parts[0])))
+        elif kind == POLYGON:
+            out.append(_enc_one(kind, parts[0]))
+        else:
+            out.append(_enc_one(kind, parts))
+    return out
+
+
+# ---------------------------------------------------------------------- #
+# WKB decode
+# ---------------------------------------------------------------------- #
+def _read_coords(buf: memoryview, off: int, n: int, bo: str) -> tuple[np.ndarray, int]:
+    nbytes = 16 * n
+    arr = np.frombuffer(buf, dtype=("<f8" if bo == "<" else ">f8"),
+                        count=2 * n, offset=off).reshape(n, 2)
+    return arr.astype(np.float64, copy=False), off + nbytes
+
+
+def _dec_one(buf: memoryview, off: int):
+    """Return (kind, parts, new_off). parts per _enc_one convention."""
+    byte_order = buf[off]
+    bo = "<" if byte_order == 1 else ">"
+    off += 1
+    (gtype,) = struct.unpack_from(bo + "I", buf, off)
+    off += 4
+    gtype = gtype % 1000  # tolerate EWKB Z/M flags absence; SRID flag unsupported
+    if gtype == 1:
+        c, off = _read_coords(buf, off, 1, bo)
+        return POINT, [c], off
+    if gtype == 2:
+        (n,) = struct.unpack_from(bo + "I", buf, off)
+        off += 4
+        c, off = _read_coords(buf, off, n, bo)
+        return LINESTRING, [c], off
+    if gtype == 3:
+        (nr,) = struct.unpack_from(bo + "I", buf, off)
+        off += 4
+        rings = []
+        for _ in range(nr):
+            (n,) = struct.unpack_from(bo + "I", buf, off)
+            off += 4
+            c, off = _read_coords(buf, off, n, bo)
+            rings.append(c)
+        return POLYGON, rings, off
+    if gtype in (4, 5, 6):
+        (ng,) = struct.unpack_from(bo + "I", buf, off)
+        off += 4
+        parts = []
+        for _ in range(ng):
+            _, sub, off = _dec_one(buf, off)
+            parts.append(sub)
+        return gtype, parts, off
+    raise ValueError(f"unsupported WKB type {gtype}")
+
+
+def from_wkb(blobs) -> GeomArray:
+    """Parse an iterable of WKB byte strings into one GeomArray.
+    None/empty entries become empty POINT geoms (no coords)."""
+    ring_lists: list[list] = []
+    kinds: list[int] = []
+    for b in blobs:
+        if b is None or len(b) == 0:
+            kinds.append(POINT)
+            ring_lists.append([])
+            continue
+        kind, parts, _ = _dec_one(memoryview(b), 0)
+        kinds.append(kind)
+        if kind in (POINT, LINESTRING):
+            ring_lists.append([parts[0]])
+        elif kind == POLYGON:
+            ring_lists.append([parts])          # one part = list of rings
+        elif kind == MULTIPOINT:
+            ring_lists.append([p[0] for p in parts])
+        elif kind == MULTILINESTRING:
+            ring_lists.append([p[0] for p in parts])
+        else:  # MULTIPOLYGON
+            ring_lists.append([p for p in parts])  # each p = list of rings
+    return from_rings(ring_lists, kinds)
+
+
+# ---------------------------------------------------------------------- #
+# WKT
+# ---------------------------------------------------------------------- #
+_WKT_HEAD = re.compile(r"\s*([A-Za-z]+)\s*(.*)", re.S)
+
+
+def _fmt(v: float) -> str:
+    if v == int(v):
+        return str(int(v))
+    return repr(v)
+
+
+def _fmt_seq(arr: np.ndarray) -> str:
+    return ", ".join(f"{_fmt(x)} {_fmt(y)}" for x, y in arr)
+
+
+def to_wkt(ga: GeomArray) -> list[str]:
+    out = []
+    for g in range(len(ga)):
+        kind = int(ga.kinds[g])
+        rings = ga.rings_of_geom(g)
+        if kind == POINT:
+            out.append("POINT EMPTY" if not rings else f"POINT ({_fmt_seq(rings[0][:1])})")
+        elif kind == LINESTRING:
+            out.append(f"LINESTRING ({_fmt_seq(rings[0])})")
+        elif kind == POLYGON:
+            body = ", ".join(f"({_fmt_seq(r)})" for r in rings)
+            out.append(f"POLYGON ({body})")
+        elif kind == MULTIPOINT:
+            out.append("MULTIPOINT (" + ", ".join(f"({_fmt_seq(r[:1])})" for r in rings) + ")")
+        elif kind == MULTILINESTRING:
+            out.append("MULTILINESTRING (" + ", ".join(f"({_fmt_seq(r)})" for r in rings) + ")")
+        elif kind == MULTIPOLYGON:
+            parts = []
+            p0, p1 = ga.geom_offsets[g], ga.geom_offsets[g + 1]
+            for p in range(p0, p1):
+                r0, r1 = ga.part_offsets[p], ga.part_offsets[p + 1]
+                rs = [ga.coords[ga.ring_offsets[r]:ga.ring_offsets[r + 1]]
+                      for r in range(r0, r1)]
+                parts.append("(" + ", ".join(f"({_fmt_seq(r)})" for r in rs) + ")")
+            out.append("MULTIPOLYGON (" + ", ".join(parts) + ")")
+        else:
+            raise ValueError(f"unsupported kind {kind}")
+    return out
+
+
+def _parse_seq(s: str) -> np.ndarray:
+    pts = [p.strip() for p in s.split(",")]
+    arr = np.array([[float(t) for t in p.split()] for p in pts], dtype=np.float64)
+    return arr
+
+
+def _split_groups(s: str) -> list[str]:
+    """Split 'a), (b), (c' style top-level paren groups of 's' stripped of the
+    outermost parens."""
+    groups, depth, start = [], 0, 0
+    for i, ch in enumerate(s):
+        if ch == "(":
+            if depth == 0:
+                start = i + 1
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                groups.append(s[start:i])
+    return groups
+
+
+_KIND_BY_NAME = {"POINT": POINT, "LINESTRING": LINESTRING, "POLYGON": POLYGON,
+                 "MULTIPOINT": MULTIPOINT, "MULTILINESTRING": MULTILINESTRING,
+                 "MULTIPOLYGON": MULTIPOLYGON}
+
+
+def from_wkt(strs) -> GeomArray:
+    ring_lists, kinds = [], []
+    for s in strs:
+        if s is None or s == "":
+            kinds.append(POINT)
+            ring_lists.append([])
+            continue
+        m = _WKT_HEAD.match(s)
+        name = m.group(1).upper()
+        body = m.group(2).strip()
+        kind = _KIND_BY_NAME[name]
+        kinds.append(kind)
+        if body.upper() == "EMPTY":
+            ring_lists.append([])
+            continue
+        inner = body[1:-1] if body.startswith("(") else body
+        if kind == POINT:
+            ring_lists.append([_parse_seq(inner)])
+        elif kind == LINESTRING:
+            ring_lists.append([_parse_seq(inner)])
+        elif kind == POLYGON:
+            rings = [_parse_seq(g) for g in _split_groups(body[1:-1])] \
+                if "(" in inner else [_parse_seq(inner)]
+            ring_lists.append([rings])
+        elif kind in (MULTIPOINT, MULTILINESTRING):
+            groups = _split_groups(body[1:-1]) if "(" in inner else \
+                [p.strip() for p in inner.split(",")]
+            ring_lists.append([_parse_seq(g) for g in groups])
+        else:  # MULTIPOLYGON
+            polys = _split_groups(body[1:-1])
+            parts = []
+            for poly in polys:
+                rings = [_parse_seq(g) for g in _split_groups(poly)]
+                if not rings:
+                    rings = [_parse_seq(poly)]
+                parts.append(rings)
+            ring_lists.append(parts)
+    return from_rings(ring_lists, kinds)
