@@ -1,0 +1,148 @@
+"""IO + geometry-side-table extraction.
+
+Implements the ingestion contract of SURVEY.md §M1: the document row (with
+its `spans` array) is NEVER exploded in place — geometry work happens on a
+derived side table keyed by (doc_id, span_pos), and results join back to
+intact document rows, which is how the span-sequence invariant (kind, text,
+media_ref, order byte-equality) survives every shuffle
+(BASELINE.json `input_hint`; SURVEY.md §7.4 item 7).
+
+Reference scan analogues: read_geopandas/write_geopandas
+(`/root/reference/src/sgis/io/dapla_functions.py:54-171,529-800`) — here
+plain `spark.read.parquet` plus bbox stats columns (minx..maxy) which give
+Parquet min/max file pruning the same power as the reference's file-level
+bbox pruning (`dapla_functions.py:292-295`).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from .geom.wkb import from_wkt, to_wkb
+
+GEOM_COLS = ["geometry", "minx", "miny", "maxx", "maxy"]
+
+
+def read_table(spark, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def extract_geometries(docs: DataFrame) -> DataFrame:
+    """documents -> geometry side table.
+
+    Input:  (doc_id, doc_index?, spans array<struct<kind,text,media_ref,offset>>)
+    Output: (doc_id, span_pos, geometry binary WKB, minx, miny, maxx, maxy,
+             geom_kind string)
+
+    Only spans with kind='media' AND media_ref LIKE 'geo:%' yield rows
+    (other media pass through untouched per FIXTURES.md §F1).  The explode +
+    filter is JVM-side; WKT parsing + bbox is one Arrow-batched kernel.
+    """
+    id_cols = [c for c in ("doc_id", "doc_index") if c in docs.columns]
+    exploded = (
+        docs.select(*id_cols, F.posexplode("spans").alias("span_pos", "span"))
+        .where((F.col("span.kind") == "media") &
+               F.col("span.media_ref").startswith("geo:"))
+        .select(*id_cols, "span_pos",
+                F.expr("substring(span.media_ref, 5)").alias("wkt"))
+    )
+
+    out_schema = ", ".join([f"{c} string" if c == "doc_id" else f"{c} long"
+                            for c in id_cols]) + \
+        (", span_pos int, geometry binary, minx double, miny double, "
+         "maxx double, maxy double, geom_kind string")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .geom.array import FAMILY_OF
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ga = from_wkt(pdf["wkt"].tolist())
+            b = ga.bounds()
+            kinds = [FAMILY_OF.get(int(k), "point") for k in ga.kinds]
+            out = pdf[id_cols + ["span_pos"]].copy()
+            out["geometry"] = to_wkb(ga)
+            out["minx"] = b[:, 0]
+            out["miny"] = b[:, 1]
+            out["maxx"] = b[:, 2]
+            out["maxy"] = b[:, 3]
+            out["geom_kind"] = kinds
+            yield out
+
+    return exploded.mapInPandas(kernel, schema=out_schema)
+
+
+def with_bounds(df: DataFrame, geometry: str = "geometry") -> DataFrame:
+    """Attach (minx,miny,maxx,maxy) computed from a WKB column in one
+    Arrow-batched pass — the engine's bbox stats used for cell cover,
+    short-circuits, and Parquet min/max pruning at rest."""
+    cols = df.columns
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .geom.wkb import from_wkb
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ga = from_wkb(pdf[geometry].tolist())
+            b = ga.bounds()
+            out = pdf.copy()
+            out["minx"] = b[:, 0]
+            out["miny"] = b[:, 1]
+            out["maxx"] = b[:, 2]
+            out["maxy"] = b[:, 3]
+            yield out
+
+    schema_parts = [f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields]
+    schema = ", ".join(schema_parts + ["minx double", "miny double",
+                                       "maxx double", "maxy double"])
+    return df.mapInPandas(kernel, schema=schema)
+
+
+def wkt_to_wkb_df(df: DataFrame, wkt_col: str = "geometry_wkt",
+                  out_col: str = "geometry", drop_wkt: bool = True,
+                  bounds: bool = True) -> DataFrame:
+    """Parse a WKT column into WKB (+ bbox columns)."""
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ga = from_wkt(pdf[wkt_col].tolist())
+            out = pdf.copy()
+            out[out_col] = to_wkb(ga)
+            if bounds:
+                b = ga.bounds()
+                out["minx"] = b[:, 0]
+                out["miny"] = b[:, 1]
+                out["maxx"] = b[:, 2]
+                out["maxy"] = b[:, 3]
+            if drop_wkt:
+                out = out.drop(columns=[wkt_col])
+            yield out
+
+    fields = [f for f in df.schema.fields if not (drop_wkt and f.name == wkt_col)]
+    schema_parts = [f"`{f.name}` {f.dataType.simpleString()}" for f in fields]
+    schema_parts.append(f"{out_col} binary")
+    if bounds:
+        schema_parts += ["minx double", "miny double", "maxx double", "maxy double"]
+    return df.mapInPandas(kernel, schema=", ".join(schema_parts))
+
+
+def total_bounds(df: DataFrame) -> tuple[float, float, float, float]:
+    """Combined bbox (reference `get_total_bounds`, bounds.py:682-705)."""
+    row = df.agg(F.min("minx"), F.min("miny"), F.max("maxx"), F.max("maxy")).first()
+    return tuple(row)
+
+
+def write_geoparquet(df: DataFrame, path: str, partition_cols: list[str] | None = None,
+                     mode: str = "overwrite") -> None:
+    """Reference `write_geopandas` (dapla_functions.py:529-800): parquet with
+    bbox stats columns present so scans prune by min/max; optional hive
+    partitioning by e.g. a coarse cell column."""
+    w = df.write.mode(mode)
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.parquet(path)

@@ -1,0 +1,263 @@
+"""Spatial joins — the engine's core custom strategy.
+
+Replaces the reference's STRtree join kernel
+(`/root/reference/src/sgis/geopandas_tools/runners.py:170-265`) and the
+operators built on it: `get_neighbor_indices` (neighbors.py:27-151),
+`sjoin_within_distance` (neighbors.py:272-295), `sfilter` family
+(sfilter.py:17-243), geopandas `sjoin` semantics.
+
+Plan shape (SURVEY.md §2.4, §3.1):
+
+    left  ─ bbox→cell-cover explode (pure SQL sequence(), JVM-side) ─┐
+                                                                     ├─ equi-join on cell_key
+    right ─ bbox→cell-cover explode ────────────────────────────────┘
+         → Arrow-batched refine kernel (numpy predicates)
+         → anchor-cell dedup (a pair is emitted only from the cell that
+           contains the lower-left corner of its bbox intersection, so no
+           global dropDuplicates shuffle is ever needed)
+         → assemble attributes by id joins
+
+Scale levers: the cell join is a plain equi-join Catalyst can broadcast /
+AQE-skew-split; points take a zero-Python single-cell path; the refine
+kernel groups candidates by the right geometry so each polygon is parsed
+and tested against its candidate points vectorized.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from .cells import FALSE_EASTING, Y_BITS
+from .geom.wkb import from_wkb
+from .geom.predicates import geom_pair_distance, refine_pairs
+
+DEFAULT_GRIDSIZE = 2000.0
+
+
+def _cover_cells(df: DataFrame, gridsize: float, expand: float = 0.0,
+                 prefix: str = "") -> DataFrame:
+    """Explode rows into covering cell keys — pure Spark SQL (sequence +
+    explode), no Python.  Adds `cell_key`, and `{prefix}cminx/{prefix}cminy`
+    (the bbox used for covering, needed by the anchor-dedup)."""
+    g = float(gridsize)
+    e = float(expand)
+    df = (df
+          .withColumn(f"{prefix}cminx", F.col("minx") - e)
+          .withColumn(f"{prefix}cminy", F.col("miny") - e)
+          .withColumn("__cx0", F.expr(f"cast(floor((minx - {e} + {FALSE_EASTING}) / {g}) as bigint)"))
+          .withColumn("__cx1", F.expr(f"cast(floor((maxx + {e} + {FALSE_EASTING}) / {g}) as bigint)"))
+          .withColumn("__cy0", F.expr(f"cast(floor((miny - {e}) / {g}) as bigint)"))
+          .withColumn("__cy1", F.expr(f"cast(floor((maxy + {e}) / {g}) as bigint)")))
+    df = (df
+          .withColumn("__cx", F.explode(F.expr("sequence(__cx0, __cx1)")))
+          .withColumn("__cy", F.explode(F.expr("sequence(__cy0, __cy1)")))
+          .withColumn("cell_key",
+                      F.expr(f"__cx * {1 << Y_BITS} + __cy"))
+          .drop("__cx0", "__cx1", "__cy0", "__cy1", "__cx", "__cy"))
+    return df
+
+
+def sjoin_pairs(left: DataFrame, right: DataFrame, predicate: str = "intersects",
+                *, left_id: str = "left_id", right_id: str = "right_id",
+                distance: float | None = None, gridsize: float = DEFAULT_GRIDSIZE,
+                keep_distance: bool = False) -> DataFrame:
+    """Candidate generation + refine.  Inputs must carry
+    (id, geometry WKB, minx, miny, maxx, maxy); ids must be unique.
+
+    Returns DataFrame[left_id, right_id(, distance double)].
+    Predicate semantics match the reference's STRtree predicates
+    (`runners.py:180-181`); `within` is rewritten as inverse contains
+    (`sfilter.py:311-328`) inside the kernel.
+    """
+    need_dist = keep_distance or predicate == "dwithin"
+    expand = float(distance or 0.0) if predicate == "dwithin" else 0.0
+
+    l = left.select(F.col(left_id).alias("__lid"), F.col("geometry").alias("__lg"),
+                    "minx", "miny", "maxx", "maxy")
+    l = _cover_cells(l, gridsize, expand=expand, prefix="l_") \
+        .select("__lid", "__lg", "cell_key",
+                F.col("l_cminx").alias("__lminx"), F.col("l_cminy").alias("__lminy"))
+    r = right.select(F.col(right_id).alias("__rid"), F.col("geometry").alias("__rg"),
+                     "minx", "miny", "maxx", "maxy")
+    r = _cover_cells(r, gridsize, prefix="r_") \
+        .select("__rid", "__rg", "cell_key",
+                F.col("r_cminx").alias("__rminx"), F.col("r_cminy").alias("__rminy"))
+
+    cand = l.join(r, "cell_key", "inner")
+
+    lid_t = dict(zip(left.schema.names, [f.dataType.simpleString() for f in left.schema.fields]))[left_id]
+    rid_t = dict(zip(right.schema.names, [f.dataType.simpleString() for f in right.schema.fields]))[right_id]
+    out_right = right_id if right_id != left_id else right_id + "_2"
+    out_schema = f"{left_id} {lid_t}, {out_right} {rid_t}"
+    if need_dist:
+        out_schema += ", distance double"
+
+    g = float(gridsize)
+    pred = predicate
+    dist_cap = distance
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            # anchor-cell dedup: pair counted only in the cell holding the
+            # lower-left corner of the (cover-)bbox intersection
+            ax = np.maximum(pdf["__lminx"].to_numpy(), pdf["__rminx"].to_numpy())
+            ay = np.maximum(pdf["__lminy"].to_numpy(), pdf["__rminy"].to_numpy())
+            acx = np.floor((ax + FALSE_EASTING) / g).astype(np.int64)
+            acy = np.floor(ay / g).astype(np.int64)
+            anchor = (acx << Y_BITS) | acy
+            keep = anchor == pdf["cell_key"].to_numpy()
+            pdf = pdf.loc[keep]
+            if len(pdf) == 0:
+                continue
+            # unique-geometry decode per side
+            lcodes, lu = pd.factorize(pdf["__lg"], use_na_sentinel=False)
+            rcodes, ru = pd.factorize(pdf["__rg"], use_na_sentinel=False)
+            la = from_wkb(list(lu))
+            ra = from_wkb(list(ru))
+            li = np.asarray(lcodes, dtype=np.int64)
+            ri = np.asarray(rcodes, dtype=np.int64)
+            if pred == "dwithin":
+                d = geom_pair_distance(la, ra, li, ri)
+                ok = d <= float(dist_cap)
+                out = pd.DataFrame({left_id: pdf["__lid"].to_numpy()[ok],
+                                    out_right: pdf["__rid"].to_numpy()[ok]})
+                if need_dist:
+                    out["distance"] = d[ok]
+            else:
+                ok = refine_pairs(la, ra, li, ri, pred)
+                out = pd.DataFrame({left_id: pdf["__lid"].to_numpy()[ok],
+                                    out_right: pdf["__rid"].to_numpy()[ok]})
+                if need_dist:
+                    out["distance"] = geom_pair_distance(la, ra, li[ok], ri[ok])
+            yield out
+
+    return cand.mapInPandas(kernel, schema=out_schema)
+
+
+# ---------------------------------------------------------------------- #
+# public operators (reference API surface)
+# ---------------------------------------------------------------------- #
+def get_neighbor_indices(left: DataFrame, right: DataFrame, *,
+                         left_id: str = "left_id", right_id: str = "right_id",
+                         max_distance: float = 0, predicate: str = "intersects",
+                         gridsize: float = DEFAULT_GRIDSIZE) -> DataFrame:
+    """`get_neighbor_indices` (neighbors.py:27-151): pair table of left ids to
+    matching right ids; `max_distance>0` means within that distance (the
+    reference buffers the left side; we evaluate exact dwithin, which is the
+    same set without discretization error)."""
+    if max_distance and max_distance > 0:
+        return sjoin_pairs(left, right, "dwithin", left_id=left_id,
+                           right_id=right_id, distance=max_distance,
+                           gridsize=gridsize)
+    return sjoin_pairs(left, right, predicate, left_id=left_id,
+                       right_id=right_id, gridsize=gridsize)
+
+
+def sjoin(left: DataFrame, right: DataFrame, predicate: str = "intersects", *,
+          how: str = "inner", left_id: str = "left_id", right_id: str = "right_id",
+          lsuffix: str = "_left", rsuffix: str = "_right",
+          distance: float | None = None,
+          gridsize: float = DEFAULT_GRIDSIZE) -> DataFrame:
+    """geopandas-`sjoin` semantics (used throughout the reference, e.g.
+    polygon_operations.py:669-673): inner/left join of attribute rows on the
+    spatial predicate.  Collided column names get suffixes (geometry/bbox
+    of the right side are dropped, like geopandas keeps left geometry)."""
+    pairs = sjoin_pairs(left, right, predicate, left_id=left_id,
+                        right_id=right_id, distance=distance, gridsize=gridsize)
+    pair_right = pairs.columns[1]  # right_id, suffixed on collision
+    rdrop = right.drop("geometry", "minx", "miny", "maxx", "maxy") \
+                 .withColumnRenamed(right_id, pair_right)
+    lcols = set(left.columns)
+    for c in rdrop.columns:
+        if c in lcols and c != pair_right:
+            rdrop = rdrop.withColumnRenamed(c, c + rsuffix)
+    joined = pairs.join(rdrop, pair_right, "inner")
+    out = left.join(joined, left_id, how="inner" if how == "inner" else "left")
+    return out
+
+
+def sjoin_within_distance(left: DataFrame, right: DataFrame, distance: float, *,
+                          left_id: str = "left_id", right_id: str = "right_id",
+                          distance_col: str = "distance",
+                          gridsize: float = DEFAULT_GRIDSIZE) -> DataFrame:
+    """`sjoin_within_distance` (neighbors.py:272-295): dwithin pairs with the
+    exact distance column appended."""
+    pairs = sjoin_pairs(left, right, "dwithin", left_id=left_id,
+                        right_id=right_id, distance=distance,
+                        gridsize=gridsize, keep_distance=True)
+    return pairs.withColumnRenamed("distance", distance_col)
+
+
+def sfilter(gdf: DataFrame, other: DataFrame, predicate: str = "intersects", *,
+            left_id: str = "left_id", right_id: str = "right_id",
+            distance: float | None = None,
+            gridsize: float = DEFAULT_GRIDSIZE) -> DataFrame:
+    """Spatial SEMI join (`sfilter.py:17-93`): rows of gdf matching any row
+    of other; no columns from other; each row at most once."""
+    pairs = sjoin_pairs(gdf, other, predicate, left_id=left_id,
+                        right_id=right_id, distance=distance, gridsize=gridsize)
+    return gdf.join(pairs.select(left_id).distinct(), left_id, "left_semi")
+
+
+def sfilter_inverse(gdf: DataFrame, other: DataFrame,
+                    predicate: str = "intersects", *,
+                    left_id: str = "left_id", right_id: str = "right_id",
+                    distance: float | None = None,
+                    gridsize: float = DEFAULT_GRIDSIZE) -> DataFrame:
+    """Spatial ANTI join (`sfilter.py:177-243`)."""
+    pairs = sjoin_pairs(gdf, other, predicate, left_id=left_id,
+                        right_id=right_id, distance=distance, gridsize=gridsize)
+    return gdf.join(pairs.select(left_id).distinct(), left_id, "left_anti")
+
+
+def sfilter_split(gdf: DataFrame, other: DataFrame,
+                  predicate: str = "intersects", *,
+                  left_id: str = "left_id", right_id: str = "right_id",
+                  distance: float | None = None,
+                  gridsize: float = DEFAULT_GRIDSIZE
+                  ) -> tuple[DataFrame, DataFrame]:
+    """(matching, non-matching) from ONE refine pass (`sfilter.py:96-174`)."""
+    pairs = sjoin_pairs(gdf, other, predicate, left_id=left_id,
+                        right_id=right_id, distance=distance, gridsize=gridsize)
+    hits = pairs.select(left_id).distinct()
+    return (gdf.join(hits, left_id, "left_semi"),
+            gdf.join(hits, left_id, "left_anti"))
+
+
+def get_all_distances(left: DataFrame, right: DataFrame, *,
+                      left_id: str = "left_id", right_id: str = "right_id"
+                      ) -> DataFrame:
+    """`get_all_distances` (neighbors.py:163-269): full distance table.
+    Broadcast cross join — only sane with a small right side, exactly like
+    the reference's all-pairs kernel."""
+    l = left.select(F.col(left_id), F.col("geometry").alias("__lg"),
+                    "minx", "miny", "maxx", "maxy")
+    r = F.broadcast(right.select(F.col(right_id), F.col("geometry").alias("__rg")))
+    cand = l.crossJoin(r)
+    lid_t = [f.dataType.simpleString() for f in left.schema.fields
+             if f.name == left_id][0]
+    rid_t = [f.dataType.simpleString() for f in right.schema.fields
+             if f.name == right_id][0]
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            lcodes, lu = pd.factorize(pdf["__lg"], use_na_sentinel=False)
+            rcodes, ru = pd.factorize(pdf["__rg"], use_na_sentinel=False)
+            la = from_wkb(list(lu))
+            ra = from_wkb(list(ru))
+            d = geom_pair_distance(la, ra, np.asarray(lcodes, dtype=np.int64),
+                                   np.asarray(rcodes, dtype=np.int64))
+            yield pd.DataFrame({left_id: pdf[left_id].to_numpy(),
+                                right_id: pdf[right_id].to_numpy(),
+                                "distance": d})
+
+    return cand.mapInPandas(
+        kernel, schema=f"{left_id} {lid_t}, {right_id} {rid_t}, distance double")

@@ -1,0 +1,212 @@
+"""Deterministic synthesis of the interleaved text+media documents table.
+
+BASELINE.json `input_hint` mandates the input shape
+  (doc_id: string, spans: array<struct<kind:string, text:string,
+                                       media_ref:string, offset:int32>>)
+and this module synthesizes it at any scale, fully distributed
+(`spark.range(n)` + Arrow-batched generator) and order-independent: every
+value derives from splitmix64(counter) keyed by (seed, doc_index, field) —
+no sequential RNG state, so the same doc gets the same spans regardless of
+partitioning.  Mirrors FIXTURES.md §F1 with one amendment: the FIRST media
+span of every doc is a POINT whose integer coordinates come from a linear-
+congruential formula in the doc index
+
+    px = 254000  + (i * 7919  + 13) % 20000
+    py = 6644000 + (i * 104729 + 7) % 18000
+
+so a SQL oracle (DuckDB) can recompute the geometry without parsing WKT —
+the parity hook for the driver's correctness gate.  Remaining media spans
+follow the 70/20/10 point/polygon/line mix (plus 1%% opaque "img:" refs).
+
+Zone layer (FIXTURES.md §F2, amended): axis-aligned SQUARES instead of
+discretized circles, again for exact SQL parity:
+
+    cx = 254000 + (k * 12007 + 11) % 20000
+    cy = 6644000 + (k * 52361 +  3) % 18000
+    r  = 200.5 + (k * 37) % 1800        (half-integer => integer points are
+                                         never ON a zone boundary)
+
+Reference geometry fixtures being replaced: random buffered points
+(`/root/reference/tests/test_overlay.py:20-26`, `tests/test_sfilter.py:87-94`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (ArrayType, IntegerType, LongType, StringType,
+                               StructField, StructType)
+
+from .geom.buffer import point_buffer
+from .geom.wkb import to_wkt
+
+SEED = 42
+X0, XSPAN = 254_000, 20_000
+Y0, YSPAN = 6_644_000, 18_000
+
+DOC_SCHEMA = StructType([
+    StructField("doc_id", StringType()),
+    StructField("doc_index", LongType()),
+    StructField("spans", ArrayType(StructType([
+        StructField("kind", StringType()),
+        StructField("text", StringType()),
+        StructField("media_ref", StringType()),
+        StructField("offset", IntegerType()),
+    ]))),
+])
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    x = x.astype(np.uint64, copy=True)
+    x += np.uint64(0x9E3779B97F4A7C15)
+    z = x
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def h(i: np.ndarray, field: int, seed: int = SEED) -> np.ndarray:
+    """Deterministic uint64 hash of (seed, doc_index, field)."""
+    seed_mix = (seed * 0x51_7C_C1_B7_27_22_0A_95) % (1 << 64)  # python-int wraparound
+    base = np.asarray(i, dtype=np.uint64) * np.uint64(1_000_003) \
+        + np.uint64((field + seed_mix) % (1 << 64))
+    return _splitmix64(base)
+
+
+def first_point_xy(i: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """The oracle-parity point of doc i (pure integer arithmetic)."""
+    i = np.asarray(i, dtype=np.int64)
+    px = X0 + (i * 7919 + 13) % XSPAN
+    py = Y0 + (i * 104729 + 7) % YSPAN
+    return px, py
+
+
+# SQL twins (ANSI, runs identically in DuckDB and Spark SQL) -------------- #
+FIRST_POINT_X_SQL = "(254000 + (({i}) * 7919 + 13) % 20000)"
+FIRST_POINT_Y_SQL = "(6644000 + (({i}) * 104729 + 7) % 18000)"
+ZONE_CX_SQL = "(254000 + (({k}) * 12007 + 11) % 20000)"
+ZONE_CY_SQL = "(6644000 + (({k}) * 52361 + 3) % 18000)"
+ZONE_R_SQL = "(200.5 + (({k}) * 37) % 1800)"
+
+
+def zone_params(k: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    k = np.asarray(k, dtype=np.int64)
+    cx = (X0 + (k * 12007 + 11) % XSPAN).astype(np.float64)
+    cy = (Y0 + (k * 52361 + 3) % YSPAN).astype(np.float64)
+    r = 200.5 + (k * 37) % 1800
+    return cx, cy, r.astype(np.float64)
+
+
+# ------------------------------------------------------------------------ #
+# documents
+# ------------------------------------------------------------------------ #
+_LOREM = np.array(["lorem", "ipsum", "dolor", "sit", "amet", "consectetur",
+                   "adipiscing", "elit", "sed", "eiusmod", "tempor",
+                   "incididunt", "labore", "dolore", "magna", "aliqua"])
+
+
+def gen_documents_pdf(idx: np.ndarray) -> pd.DataFrame:
+    """Generate the documents rows for doc indices `idx` (numpy kernel, used
+    both by the Spark generator and directly by tests)."""
+    idx = np.asarray(idx, dtype=np.int64)
+    n = len(idx)
+    n_spans = 2 + (h(idx, 1) % np.uint64(6)).astype(np.int64)  # 2..7
+    rows_spans: list[list[dict]] = []
+    for j in range(n):
+        i = int(idx[j])
+        ns = int(n_spans[j])
+        spans = []
+        offset = 0
+        media_seen = 0
+        for pos in range(ns):
+            if pos % 2 == 0:  # text span
+                w = _LOREM[int(h(np.array([i]), 100 + pos)[0] % np.uint64(16))]
+                nw = 1 + int(h(np.array([i]), 200 + pos)[0] % np.uint64(5))
+                text = " ".join([str(w)] * nw)
+                spans.append({"kind": "text", "text": text, "media_ref": "",
+                              "offset": offset})
+                offset += len(text)
+            else:  # media span
+                media_seen += 1
+                ref = _media_ref(i, pos, media_seen)
+                spans.append({"kind": "media", "text": "", "media_ref": ref,
+                              "offset": offset})
+                offset += 1
+        rows_spans.append(spans)
+    return pd.DataFrame({
+        "doc_id": [f"doc{int(i):08d}" for i in idx],
+        "doc_index": idx,
+        "spans": rows_spans,
+    })
+
+
+def _media_ref(i: int, pos: int, media_ordinal: int) -> str:
+    if media_ordinal == 1:
+        px, py = first_point_xy(np.array([i]))
+        return f"geo:POINT ({int(px[0])} {int(py[0])})"
+    hv = int(h(np.array([i]), 300 + pos)[0] % np.uint64(100))
+    hx = int(h(np.array([i]), 400 + pos)[0] % np.uint64(XSPAN))
+    hy = int(h(np.array([i]), 500 + pos)[0] % np.uint64(YSPAN))
+    x, y = X0 + hx, Y0 + hy
+    if hv < 70:
+        return f"geo:POINT ({x} {y})"
+    if hv < 90:
+        r = 50.0 + int(h(np.array([i]), 600 + pos)[0] % np.uint64(451))
+        ga = point_buffer(np.array([[float(x), float(y)]]), r, quad_segs=8)
+        return "geo:" + to_wkt(ga)[0]
+    if hv < 99:
+        d1x = int(h(np.array([i]), 700 + pos)[0] % np.uint64(1001)) - 500
+        d1y = int(h(np.array([i]), 710 + pos)[0] % np.uint64(1001)) - 500
+        d2x = int(h(np.array([i]), 720 + pos)[0] % np.uint64(1001)) - 500
+        d2y = int(h(np.array([i]), 730 + pos)[0] % np.uint64(1001)) - 500
+        return (f"geo:LINESTRING ({x} {y}, {x + d1x} {y + d1y}, "
+                f"{x + d1x + d2x} {y + d1y + d2y})")
+    return f"img:blob{int(h(np.array([i]), 800 + pos)[0])}"
+
+
+def synth_documents(spark: SparkSession, n: int, partitions: int | None = None
+                    ) -> DataFrame:
+    """Distributed, order-independent synthesis of n interleaved documents."""
+    if partitions is None:
+        partitions = max(int(spark.sparkContext.defaultParallelism), 4)
+    rng = spark.range(0, n, 1, partitions)
+
+    def gen(batches):
+        for pdf in batches:
+            yield gen_documents_pdf(pdf["id"].to_numpy())
+
+    return rng.mapInPandas(gen, schema=DOC_SCHEMA)
+
+
+# ------------------------------------------------------------------------ #
+# zones
+# ------------------------------------------------------------------------ #
+def zone_square_wkt(cx: float, cy: float, r: float) -> str:
+    x0, x1, y0, y1 = cx - r, cx + r, cy - r, cy + r
+    def f(v):
+        return str(int(v)) if v == int(v) else repr(v)
+    return (f"POLYGON (({f(x0)} {f(y0)}, {f(x1)} {f(y0)}, {f(x1)} {f(y1)}, "
+            f"{f(x0)} {f(y1)}, {f(x0)} {f(y0)}))")
+
+
+def synth_zones(spark: SparkSession, m: int) -> DataFrame:
+    """Zone layer as a DataFrame with both WKT geometry and the numeric
+    (cx, cy, r) twin columns the SQL oracle uses."""
+    def gen(batches):
+        for pdf in batches:
+            k = pdf["id"].to_numpy()
+            cx, cy, r = zone_params(k)
+            yield pd.DataFrame({
+                "zone_id": k,
+                "zone_name": [f"zone_{int(v)}" for v in k],
+                "category": [chr(ord("a") + int(v) % 4) for v in k],
+                "cx": cx, "cy": cy, "r": r,
+                "geometry_wkt": [zone_square_wkt(a, b, c)
+                                 for a, b, c in zip(cx, cy, r)],
+            })
+
+    schema = ("zone_id long, zone_name string, category string, "
+              "cx double, cy double, r double, geometry_wkt string")
+    return spark.range(0, m, 1, max(m // 5000, 1)).mapInPandas(gen, schema=schema)

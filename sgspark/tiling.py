@@ -1,0 +1,183 @@
+"""Grid / tiling operators — the reference's gridloop contract on Spark.
+
+* `add_grid_id` — EXACT port of the SSB rute-id semantics
+  (`/root/reference/src/sgis/geopandas_tools/bounds.py:563-571,599-605`):
+  `str(int(floor((x+2e6)/g)*g)) || str(int(floor(y/g)*g))`, expressed as
+  pure Spark SQL (JVM-side, whole-stage-codegen'd — zero Python).
+* `make_grid` / `make_grid_from_bbox` / `make_ssb_grid` — cell polygon
+  layers (`bounds.py:406-572`).
+* `gridloop` — per-cell execution harness (`bounds.py:186-403`): Spark
+  partition-parallelism over `cell_key` with optional halo (`gridbuffer`)
+  replication and clip-back, preserving the reference invariant
+  concat(per-cell results) == global result (tests/test_parallel.py:167-265).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .cells import FALSE_EASTING, Y_BITS
+from . import cells as _cells
+from .geom.wkb import to_wkb
+from .geom.array import from_rings, POLYGON
+
+
+# ---------------------------------------------------------------------- #
+# JVM-side cell expressions (no UDF)
+# ---------------------------------------------------------------------- #
+def grid_id_expr(x: str, y: str, gridsize: int) -> str:
+    """Spark-SQL twin of cells.ssb_rute_id — also valid DuckDB SQL."""
+    return (f"concat(cast(cast(floor(({x} + {FALSE_EASTING}) / {gridsize}) "
+            f"* {gridsize} as bigint) as string), "
+            f"cast(cast(floor(({y}) / {gridsize}) * {gridsize} as bigint) as string))")
+
+
+def cell_key_expr(x: str, y: str, gridsize) -> str:
+    """int64 cell key expression: (cx << Y_BITS) | cy, cx from false easting."""
+    return (f"(cast(floor(({x} + {FALSE_EASTING}) / {gridsize}) as bigint) "
+            f"* {1 << Y_BITS} + cast(floor(({y}) / {gridsize}) as bigint))")
+
+
+def add_grid_id(df: DataFrame, gridsize: int, x: str = "x", y: str = "y",
+                out_col: str | None = None) -> DataFrame:
+    """Reference `add_grid_id` (bounds.py:575-607) — column name matches its
+    default `SSB_{gridsize}m` style when out_col not given."""
+    if out_col is None:
+        out_col = f"SSB_{gridsize}m"
+    return df.withColumn(out_col, F.expr(grid_id_expr(x, y, gridsize)))
+
+
+def add_cell_key(df: DataFrame, gridsize, x: str = "x", y: str = "y",
+                 out_col: str = "cell_key") -> DataFrame:
+    return df.withColumn(out_col, F.expr(cell_key_expr(x, y, gridsize)))
+
+
+# ---------------------------------------------------------------------- #
+# grid layers
+# ---------------------------------------------------------------------- #
+def make_grid_from_bbox(spark: SparkSession, minx: float, miny: float,
+                        maxx: float, maxy: float, gridsize: float,
+                        ssb: bool = False) -> DataFrame:
+    """Cell polygon layer over a bbox (`bounds.py:406-443`); `ssb=True`
+    snaps to the national grid origin (false easting) like make_ssb_grid
+    (`bounds.py:493-572`).  Built distributed via crossJoin of x/y steps."""
+    if ssb:
+        x_start = np.floor((minx + FALSE_EASTING) / gridsize) * gridsize - FALSE_EASTING
+        y_start = np.floor(miny / gridsize) * gridsize
+    else:
+        x_start = int(minx)
+        y_start = int(miny)
+    nx = int(np.ceil((maxx - x_start) / gridsize)) + 1
+    ny = int(np.ceil((maxy - y_start) / gridsize)) + 1
+    xs = spark.range(nx).select((F.lit(float(x_start)) +
+                                 F.col("id") * float(gridsize)).alias("x0"))
+    ys = spark.range(ny).select((F.lit(float(y_start)) +
+                                 F.col("id") * float(gridsize)).alias("y0"))
+    grid = xs.crossJoin(ys).select(
+        "x0", "y0",
+        (F.col("x0") + float(gridsize)).alias("x1"),
+        (F.col("y0") + float(gridsize)).alias("y1"))
+    grid = grid.withColumn(
+        "SSB_ID", F.expr(grid_id_expr("x0 + 0.5", "y0 + 0.5", int(gridsize))))
+    grid = grid.withColumn("cell_key",
+                           F.expr(cell_key_expr("x0 + 0.5", "y0 + 0.5", gridsize)))
+
+    def mk_poly(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rings = []
+            for x0, y0, x1, y1 in zip(pdf.x0, pdf.y0, pdf.x1, pdf.y1):
+                rings.append([[np.array([[x0, y0], [x1, y0], [x1, y1],
+                                         [x0, y1], [x0, y0]])]])
+            ga = from_rings(rings, [POLYGON] * len(pdf))
+            out = pdf.copy()
+            out["geometry"] = to_wkb(ga)
+            yield out
+
+    schema = ("x0 double, y0 double, x1 double, y1 double, SSB_ID string, "
+              "cell_key long, geometry binary")
+    return grid.mapInPandas(mk_poly, schema=schema)
+
+
+def make_grid(spark: SparkSession, bounds: tuple, gridsize: float) -> DataFrame:
+    """`make_grid` (bounds.py:446-490): int-rounds the corners first."""
+    minx, miny, maxx, maxy = (int(np.floor(bounds[0])), int(np.floor(bounds[1])),
+                              int(np.ceil(bounds[2])), int(np.ceil(bounds[3])))
+    return make_grid_from_bbox(spark, minx, miny, maxx, maxy, gridsize)
+
+
+def make_ssb_grid(spark: SparkSession, bounds: tuple, gridsize: int) -> DataFrame:
+    return make_grid_from_bbox(spark, *bounds, gridsize, ssb=True)
+
+
+# ---------------------------------------------------------------------- #
+# gridloop
+# ---------------------------------------------------------------------- #
+def gridloop(df: DataFrame, func: Callable[[pd.DataFrame], pd.DataFrame],
+             out_schema: str, gridsize: float,
+             x: str = "x", y: str = "y", gridbuffer: float = 0.0) -> DataFrame:
+    """Run `func` once per grid cell over point-keyed rows.
+
+    Semantics of the reference's `gridloop` (`bounds.py:186-403`):
+      * each row belongs to the cell of its (x, y);
+      * with `gridbuffer` > 0, rows within the buffer of a neighboring cell
+        are ALSO handed to that cell's invocation (halo replication replaces
+        the reference's clip-to-buffered-cell);
+      * each invocation receives the cell's rows (halo included) with a
+        `__cell_key` column and a `__halo` bool; rows the function returns
+        are kept only if they belong to the owning cell (clip-back:
+        `_clip_back_to_unbuffered_grid`, bounds.py:385-403).
+    Invariant: union(per-cell results where not halo) == global func result
+    for any gridsize / gridbuffer / parallelism.
+    """
+    if gridbuffer < 0:
+        raise ValueError("gridbuffer must be >= 0")
+    if gridbuffer >= gridsize:
+        raise ValueError("gridbuffer must be < gridsize (halo of one ring)")
+    base = df.withColumn("__cell_key", F.expr(cell_key_expr(x, y, gridsize)))
+    base = base.withColumn("__halo", F.lit(False))
+    if gridbuffer > 0:
+        # replicate rows into the up-to-3 neighboring cells their buffer reaches
+        g = float(gridsize)
+        b = float(gridbuffer)
+        dx = F.expr(f"case when (({x} + {FALSE_EASTING}) % {g} + {g}) % {g} < {b} "
+                    f"then -1 when (({x} + {FALSE_EASTING}) % {g} + {g}) % {g} "
+                    f">= {g - b} then 1 else 0 end")
+        dy = F.expr(f"case when (({y} % {g}) + {g}) % {g} < {b} then -1 "
+                    f"when (({y} % {g}) + {g}) % {g} >= {g - b} then 1 else 0 end")
+        rep = base.withColumn("__dx", dx).withColumn("__dy", dy)
+        shifted = []
+        for sx in (-1, 0, 1):
+            for sy in (-1, 0, 1):
+                if sx == 0 and sy == 0:
+                    continue
+                cond = F.lit(True)
+                if sx != 0:
+                    cond = cond & (F.col("__dx") == sx)
+                if sy != 0:
+                    cond = cond & (F.col("__dy") == sy)
+                halo = (rep.where(cond)
+                        .withColumn("__cell_key",
+                                    F.col("__cell_key") + sx * (1 << Y_BITS) + sy)
+                        .withColumn("__halo", F.lit(True)))
+                shifted.append(halo.drop("__dx", "__dy"))
+        for s in shifted:
+            base = base.unionByName(s)
+
+    def run_cell(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        res = func(pdf)
+        res = res.copy()
+        res["__cell_key"] = key[0]
+        return res
+
+    inner_schema = out_schema + ", __cell_key long"
+    out = base.groupBy("__cell_key").applyInPandas(run_cell, schema=inner_schema)
+    # clip-back: keep only rows owned by the invoking cell (halo rows were
+    # computed for context, their results belong to their home cell)
+    out = out.where(F.expr(cell_key_expr(x, y, gridsize)) == F.col("__cell_key"))
+    return out.drop("__cell_key")
