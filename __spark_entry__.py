@@ -1,38 +1,451 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Queries run the sgspark engine (cell-join spatial ops, text/dedup ops,
+vector ops) against the driver's parquet tables at `sf_dir`.  Geometry for
+the oracle-checked spatial queries is DERIVED deterministically from
+integer keys (sgspark/synth.py formulas), so the DuckDB oracle can
+recompute it with pure arithmetic — no spatial extension needed — while
+the Spark side runs the real pipeline: span synthesis -> WKT parse ->
+WKB kernels -> cell joins.
+
+Exact-parity design notes (why value hashes match):
+  * all point coords are integers; zone half-widths are half-integers
+    (boundary ties impossible);
+  * ratios/rounds only of integer-derived quantities; decimal-cast sums
+    for money columns (order-free);
+  * embeddings quantized to integers before dot products (float-sum order
+    designed out).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+# SQL fragments shared by engine derivation and DuckDB oracle ------------- #
+PX = "(254000 + (doc_id * 7919 + 13) % 20000)"
+PY = "(6644000 + (doc_id * 104729 + 7) % 18000)"
+ZX = "(254000 + (c_custkey * 12007 + 11) % 20000)"
+ZY = "(6644000 + (c_custkey * 52361 + 3) % 18000)"
+ZR = "(200.5 + (c_custkey * 37) % 1800)"
+TILE = ("concat(cast(cast(floor(({x} + 2000000) / 1000) * 1000 as bigint) as "
+        "string), cast(cast(floor(({y}) / 1000) * 1000 as bigint) as string))")
 
 
+def _geo_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the real span pipeline: flat docs -> interleaved spans ->
+    extract -> first-media-span points with WKB + bbox."""
+    from sgspark.synth import documents_with_spans
+    from sgspark.io import extract_geometries
+    docs = documents_with_spans(spark, sf_dir)
+    geo = extract_geometries(docs)
+    return geo.where("geom_kind = 'point' AND span_pos = 1") \
+              .withColumnRenamed("doc_index", "doc_id_num")
+
+
+def _zones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sgspark.synth import zones_from_customer
+    from sgspark.io import wkt_to_wkb_df
+    return wkt_to_wkb_df(zones_from_customer(spark, sf_dir))
+
+
+# ------------------------------------------------------------------------ #
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: span pipeline -> PIP sjoin vs zones -> docs per zone."""
+    sf = "/root/testdata/sf0.001"
+    from sgspark.joins import sjoin_pairs
+    pts = _geo_points(spark, sf)
+    zones = _zones(spark, sf)
+    pairs = sjoin_pairs(pts, zones, "within", left_id="doc_id_num",
+                        right_id="zone_id")
+    return pairs.groupBy("zone_id").agg(F.count("*").alias("n_docs"))
+
+
+# ------------------------------------------------------------------------ #
+def q_tile_assign(spark, sf_dir):
+    from sgspark.tiling import add_grid_id
+    pts = _geo_points(spark, sf_dir) \
+        .withColumnRenamed("minx", "x").withColumnRenamed("miny", "y")
+    return (add_grid_id(pts, 1000, out_col="tile_id")
+            .groupBy("tile_id").agg(F.count("*").alias("n_points")))
+
+
+def q_pip_join(spark, sf_dir):
+    from sgspark.joins import sjoin_pairs
+    pairs = sjoin_pairs(_geo_points(spark, sf_dir), _zones(spark, sf_dir),
+                        "within", left_id="doc_id_num", right_id="zone_id")
+    return pairs.withColumnRenamed("doc_id_num", "doc_id")
+
+
+def q_dwithin_join(spark, sf_dir):
+    from sgspark.joins import sjoin_within_distance
+    out = sjoin_within_distance(_geo_points(spark, sf_dir),
+                                _zones(spark, sf_dir), 1500.0,
+                                left_id="doc_id_num", right_id="zone_id")
+    return out.select(F.col("doc_id_num").alias("doc_id"), "zone_id",
+                      F.round("distance", 6).alias("dist"))
+
+
+def q_knn(spark, sf_dir):
+    from sgspark.knn import get_k_nearest_neighbors
+    pts = _geo_points(spark, sf_dir).select(
+        F.col("doc_id_num").alias("doc_id"),
+        F.col("minx").alias("x"), F.col("miny").alias("y"))
+    centers = spark.read.parquet(f"{sf_dir}/customer.parquet").selectExpr(
+        "c_custkey AS zone_id", f"cast({ZX} as double) AS x",
+        f"cast({ZY} as double) AS y")
+    out = get_k_nearest_neighbors(pts, centers, 3, left_id="doc_id",
+                                  right_id="zone_id")
+    return out.select("doc_id", F.col("neighbor_index").alias("neighbor_id"),
+                      F.col("k").alias("k_rank"),
+                      F.round(F.col("distance") * F.col("distance"))
+                      .cast("long").alias("d2"))
+
+
+def q_sfilter(spark, sf_dir):
+    from sgspark.joins import sfilter
+    zones = _zones(spark, sf_dir).where("zone_id % 7 = 0")  # sparse layer
+    out = sfilter(_geo_points(spark, sf_dir), zones, "within",
+                  left_id="doc_id_num", right_id="zone_id")
+    return out.select(F.col("doc_id_num").alias("doc_id"))
+
+
+def q_sfilter_inverse(spark, sf_dir):
+    from sgspark.joins import sfilter_inverse
+    zones = _zones(spark, sf_dir).where("zone_id % 7 = 0")
+    out = sfilter_inverse(_geo_points(spark, sf_dir), zones,
+                          "within", left_id="doc_id_num", right_id="zone_id")
+    return out.select(F.col("doc_id_num").alias("doc_id"))
+
+
+def q_overlay_intersection(spark, sf_dir):
+    from sgspark.overlay import clean_overlay
+    from sgspark.io import with_bounds
+    z = _zones(spark, sf_dir)
+    a = z.where("zone_id % 2 = 0").withColumnRenamed("zone_id", "aid") \
+         .select("aid", "geometry", "minx", "miny", "maxx", "maxy")
+    b = z.where("zone_id % 2 = 1").withColumnRenamed("zone_id", "bid") \
+         .select("bid", "geometry", "minx", "miny", "maxx", "maxy")
+    inter = clean_overlay(a, b, "intersection", id1="aid", id2="bid")
+
+    def area_kernel(batches):
+        from sgspark.geom.wkb import from_wkb
+        import pandas as pd
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ga = from_wkb(pdf["geometry"].tolist())
+            out = pdf[["aid", "bid"]].copy()
+            out["area"] = ga.area().round(3)
+            yield out
+
+    return inter.mapInPandas(area_kernel,
+                             schema="aid long, bid long, area double")
+
+
+def q_gridloop_tile_counts(spark, sf_dir):
+    import pandas as pd
+    from sgspark.tiling import gridloop, grid_id_expr
+    pts = _geo_points(spark, sf_dir).selectExpr(
+        "doc_id_num AS doc_id", "minx AS x", "miny AS y")
+
+    def per_cell(cell: pd.DataFrame) -> pd.DataFrame:
+        own = cell[~cell["__halo"]]
+        if len(own) == 0:
+            return pd.DataFrame({"x": [], "y": [], "n_points": []})
+        return pd.DataFrame({"x": [float(own.x.min())],
+                             "y": [float(own.y.min())],
+                             "n_points": [len(own)]})
+
+    out = gridloop(pts, per_cell, "x double, y double, n_points long", 1000.0)
+    return out.select(F.expr(grid_id_expr("x", "y", 1000)).alias("tile_id"),
+                      "n_points")
+
+
+def q_zone_clusters(spark, sf_dir):
+    from sgspark.clusters import get_cluster_mapper
+    return get_cluster_mapper(_zones(spark, sf_dir), id_col="zone_id")
+
+
+def q_zone_dissolve(spark, sf_dir):
+    from sgspark.dissolve import dissexp_by_cluster
+    z = _zones(spark, sf_dir).select("zone_id", "geometry", "minx", "miny",
+                                     "maxx", "maxy")
+    out = dissexp_by_cluster(z, id_col="zone_id")
+    return out.agg(F.count("*").alias("n_parts"))
+
+
+def q_dedup_exact(spark, sf_dir):
+    from sgspark.textops import exact_dedup
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return exact_dedup(docs)
+
+
+def q_near_dup_pairs(spark, sf_dir):
+    from sgspark.textops import near_dup_pairs
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return near_dup_pairs(docs, threshold=0.2)
+
+
+def q_token_stats(spark, sf_dir):
+    from sgspark.textops import token_stats
+    return token_stats(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def q_quality(spark, sf_dir):
+    from sgspark.textops import quality_score
+    return quality_score(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def q_langid(spark, sf_dir):
+    from sgspark.textops import lang_id
+    return lang_id(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def q_simhash(spark, sf_dir):
+    from sgspark.textops import simhash
+    return simhash(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def q_simhash_near_dups(spark, sf_dir):
+    from sgspark.textops import simhash_near_dups
+    return simhash_near_dups(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def q_fingerprint(spark, sf_dir):
+    from sgspark.textops import fingerprint
+    return fingerprint(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def q_cosine_topk(spark, sf_dir):
+    from sgspark.vecops import cosine_topk_bruteforce
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_topk_bruteforce(vecs, 5)
+
+
+def q_ann_lsh(spark, sf_dir):
+    from sgspark.vecops import cosine_topk_lsh
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_topk_lsh(vecs, 5)
+
+
+def q_events_hourly(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (ev.groupBy("event_type",
+                       F.unix_timestamp(F.date_trunc("hour", "ts"))
+                       .alias("hour_epoch"))
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.col("value").cast("decimal(18,2)"))
+                 .cast("double").alias("sum_value")))
+
+
+def q_tpch_q1(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (li.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                 .cast("double").alias("sum_qty"),
+                 F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                 .cast("double").alias("sum_base_price"),
+                 F.count("*").alias("count_order")))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "tile_assign": q_tile_assign,
+        "pip_join": q_pip_join,
+        "dwithin_join": q_dwithin_join,
+        "knn": q_knn,
+        "sfilter": q_sfilter,
+        "sfilter_inverse": q_sfilter_inverse,
+        "overlay_intersection": q_overlay_intersection,
+        "gridloop_tile_counts": q_gridloop_tile_counts,
+        "zone_clusters": q_zone_clusters,
+        "zone_dissolve": q_zone_dissolve,
+        "dedup_exact": q_dedup_exact,
+        "near_dup_pairs": q_near_dup_pairs,
+        "token_stats": q_token_stats,
+        "quality": q_quality,
+        "langid": q_langid,
+        "simhash": q_simhash,
+        "simhash_near_dups": q_simhash_near_dups,
+        "fingerprint": q_fingerprint,
+        "cosine_topk": q_cosine_topk,
+        "ann_lsh": q_ann_lsh,
+        "events_hourly": q_events_hourly,
+        "tpch_q1": q_tpch_q1,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def _overlay_oracle() -> str:
+    def sub(expr, alias):
+        return expr.replace("c_custkey", f"{alias}.c_custkey")
+    zxa, zya, zra = sub(ZX, "a"), sub(ZY, "a"), sub(ZR, "a")
+    zxb, zyb, zrb = sub(ZX, "b"), sub(ZY, "b"), sub(ZR, "b")
+    ox = (f"(least({zxa} + {zra}, {zxb} + {zrb}) - "
+          f"greatest({zxa} - {zra}, {zxb} - {zrb}))")
+    oy = (f"(least({zya} + {zra}, {zyb} + {zrb}) - "
+          f"greatest({zya} - {zra}, {zyb} - {zrb}))")
+    return (f"SELECT a.c_custkey AS aid, b.c_custkey AS bid, "
+            f"round({ox} * {oy}, 3) AS area "
+            f"FROM customer a, customer b "
+            f"WHERE a.c_custkey % 2 = 0 AND b.c_custkey % 2 = 1 "
+            f"AND {ox} > 0 AND {oy} > 0")
 
 
+# ------------------------------------------------------------------------ #
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    tile = TILE.format(x=PX, y=PY)
+    zone_pred = (f"abs({PX} - {ZX}) <= {ZR} AND abs({PY} - {ZY}) <= {ZR}")
+    dist = (f"sqrt(pow(greatest(abs({PX} - {ZX}) - {ZR}, 0), 2) + "
+            f"pow(greatest(abs({PY} - {ZY}) - {ZR}, 0), 2))")
+    shingles = """
+      WITH sh AS (
+        SELECT DISTINCT d.doc_id, substr(d.text, CAST(t.i AS INTEGER), 12) AS sh
+        FROM documents d, generate_series(1, 2000) t(i)
+        WHERE t.i <= length(d.text) - 11
+      )"""
+    return {
+        "tile_assign": f"""
+            SELECT {tile} AS tile_id, count(*) AS n_points
+            FROM documents GROUP BY 1""",
+        "pip_join": f"""
+            SELECT d.doc_id AS doc_id, c.c_custkey AS zone_id
+            FROM documents d, customer c WHERE {zone_pred}""",
+        "dwithin_join": f"""
+            SELECT d.doc_id AS doc_id, c.c_custkey AS zone_id,
+                   round({dist}, 6) AS dist
+            FROM documents d, customer c WHERE {dist} <= 1500.0""",
+        "knn": f"""
+            SELECT doc_id, zone_id AS neighbor_id, k_rank, d2 FROM (
+              SELECT d.doc_id, c.c_custkey AS zone_id,
+                     CAST(({PX} - {ZX}) * ({PX} - {ZX}) +
+                          ({PY} - {ZY}) * ({PY} - {ZY}) AS BIGINT) AS d2,
+                     row_number() OVER (
+                       PARTITION BY d.doc_id
+                       ORDER BY ({PX} - {ZX}) * ({PX} - {ZX}) +
+                                ({PY} - {ZY}) * ({PY} - {ZY}), c.c_custkey
+                     ) AS k_rank
+              FROM documents d, customer c)
+            WHERE k_rank <= 3""",
+        "sfilter": f"""
+            SELECT d.doc_id AS doc_id FROM documents d
+            WHERE EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey % 7 = 0 AND {zone_pred})""",
+        "sfilter_inverse": f"""
+            SELECT d.doc_id AS doc_id FROM documents d
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey % 7 = 0 AND {zone_pred})""",
+        "overlay_intersection": _overlay_oracle(),
+        "gridloop_tile_counts": f"""
+            SELECT {tile} AS tile_id, count(*) AS n_points
+            FROM documents GROUP BY 1""",
+        "dedup_exact": """
+            SELECT md5(text) AS dup_hash, min(doc_id) AS keeper_id,
+                   count(*) AS n_dups
+            FROM documents GROUP BY 1""",
+        "near_dup_pairs": shingles + """
+          , sk AS (
+            SELECT doc_id, h FROM (
+              SELECT doc_id, md5(sh) AS h,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY md5(sh)) rn
+              FROM sh) WHERE rn <= 16
+          ), cand AS (
+            SELECT DISTINCT s1.doc_id AS a, s2.doc_id AS b
+            FROM sk s1 JOIN sk s2 USING (h) WHERE s1.doc_id < s2.doc_id
+          ), sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1
+          ), inter AS (
+            SELECT c.a, c.b, count(*) AS i FROM cand c
+            JOIN sh sa ON sa.doc_id = c.a
+            JOIN sh sb ON sb.doc_id = c.b AND sa.sh = sb.sh
+            GROUP BY 1, 2)
+          SELECT a, b, round(i * 1.0 / (na.n + nb.n - i), 6) AS jaccard
+          FROM inter JOIN sizes na ON na.doc_id = a
+          JOIN sizes nb ON nb.doc_id = b
+          WHERE round(i * 1.0 / (na.n + nb.n - i), 6) >= 0.2""",
+        "token_stats": """
+            SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+                   length(text) AS n_chars_calc,
+                   round((length(text) - (len(string_split(text, ' ')) - 1))
+                         * 1.0 / len(string_split(text, ' ')), 6)
+                     AS mean_token_len
+            FROM documents""",
+        "quality": """
+            SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+                   round(len(list_filter(string_split(text, ' '), w -> w IN
+                     ('the','a','of','and','le','la','et','les','el','y',
+                      'los','der','die','und','das'))) * 1.0 /
+                     len(string_split(text, ' ')), 6) AS stopword_ratio,
+                   round((CASE WHEN length(text) BETWEEN 100 AND 400
+                          THEN 1.0 ELSE 0.5 END) *
+                         (0.5 + len(list_filter(string_split(text, ' '),
+                            w -> w IN ('the','a','of','and','le','la','et',
+                            'les','el','y','los','der','die','und','das')))
+                          * 1.0 / len(string_split(text, ' '))), 6) AS quality
+            FROM documents""",
+        "langid": """
+            SELECT doc_id,
+              CASE
+                WHEN en > 0 AND en >= fr AND en >= es AND en >= de THEN 'en'
+                WHEN fr > 0 AND fr >= es AND fr >= de THEN 'fr'
+                WHEN es > 0 AND es >= de THEN 'es'
+                WHEN de > 0 THEN 'de'
+                ELSE 'und' END AS lang_pred
+            FROM (
+              SELECT doc_id,
+                len(list_filter(string_split(text,' '),
+                    w -> w IN ('the','a','of','and'))) AS en,
+                len(list_filter(string_split(text,' '),
+                    w -> w IN ('le','la','et','les'))) AS fr,
+                len(list_filter(string_split(text,' '),
+                    w -> w IN ('el','la','y','los'))) AS es,
+                len(list_filter(string_split(text,' '),
+                    w -> w IN ('der','die','und','das'))) AS de
+              FROM documents)""",
+        "cosine_topk": """
+            WITH q AS (
+              SELECT vec_id, t.i AS pos,
+                     CAST(round(embedding[CAST(t.i AS INTEGER)] * 1000)
+                          AS BIGINT) AS v
+              FROM embeddings, generate_series(1, 64) t(i)
+            ), norms AS (
+              SELECT vec_id, sum(v * v) AS n2 FROM q GROUP BY 1
+            ), sims AS (
+              SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+                     sum(a.v * b.v) / sqrt(CAST(na.n2 AS DOUBLE) *
+                                           CAST(nb.n2 AS DOUBLE)) AS sim_raw
+              FROM q a JOIN q b ON a.pos = b.pos AND a.vec_id <> b.vec_id
+              JOIN norms na ON na.vec_id = a.vec_id
+              JOIN norms nb ON nb.vec_id = b.vec_id
+              GROUP BY a.vec_id, b.vec_id, na.n2, nb.n2)
+            SELECT vec_id, neighbor_id, round(sim_raw, 6) AS sim, k_rank
+            FROM (
+              SELECT vec_id, neighbor_id, sim_raw,
+                     row_number() OVER (PARTITION BY vec_id
+                       ORDER BY sim_raw DESC, neighbor_id) AS k_rank
+              FROM sims)
+            WHERE k_rank <= 5""",
+        "events_hourly": """
+            SELECT event_type,
+                   CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+                   count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                     AS sum_value
+            FROM events GROUP BY 1, 2""",
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                     AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                     AS sum_base_price,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY 1, 2""",
+        # zone_clusters / zone_dissolve / simhash* / fingerprint / ann_lsh:
+        # intentionally no oracle (iterative CC, geometry union, xxhash64 and
+        # HOF-reduce are not DuckDB-expressible) -> driver rows-only check;
+        # exactness covered by pytest goldens instead.
+    }

@@ -351,7 +351,18 @@ def polygon_boolean(parts_a: list[list[np.ndarray]],
         out_rings: list[np.ndarray] = []
         for pa in parts_a:
             for pb in parts_b:
-                rs = ring_boolean(pa[0], pb[0], "intersection")
+                # convex-clipper fast path (Sutherland–Hodgman): exact for
+                # the dominant rectangle/convex cases, no degeneracy ladder
+                if is_convex(pb[0]):
+                    r = clip_ring_convex(ensure_closed(pa[0]),
+                                         ensure_closed(pb[0]))
+                    rs = [ensure_ccw(r)] if r is not None else []
+                elif is_convex(pa[0]):
+                    r = clip_ring_convex(ensure_closed(pb[0]),
+                                         ensure_closed(pa[0]))
+                    rs = [ensure_ccw(r)] if r is not None else []
+                else:
+                    rs = ring_boolean(pa[0], pb[0], "intersection")
                 out_rings.extend(rs)
         polys = rings_to_polygons(out_rings)
         holes = [h for pa in parts_a for h in pa[1:]] + \

@@ -180,6 +180,39 @@ def synth_documents(spark: SparkSession, n: int, partitions: int | None = None
     return rng.mapInPandas(gen, schema=DOC_SCHEMA)
 
 
+def documents_with_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The driver's flat documents table re-expressed as the interleaved
+    spans table of BASELINE.json input_hint: spans derive deterministically
+    from doc_id (same generator as synth_documents), so a SQL oracle can
+    recompute any geometry without parsing WKT."""
+    flat = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def gen(batches):
+        for pdf in batches:
+            yield gen_documents_pdf(pdf["doc_id"].to_numpy())
+
+    return flat.select("doc_id").mapInPandas(gen, schema=DOC_SCHEMA)
+
+
+def zones_from_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone layer derived from the customer table (key = c_custkey), same
+    formulas as synth_zones so the SQL oracle twin applies."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+
+    def gen(batches):
+        for pdf in batches:
+            k = pdf["c_custkey"].to_numpy().astype(np.int64)
+            cx, cy, r = zone_params(k)
+            yield pd.DataFrame({
+                "zone_id": k, "cx": cx, "cy": cy, "r": r,
+                "geometry_wkt": [zone_square_wkt(a, b, c)
+                                 for a, b, c in zip(cx, cy, r)]})
+
+    return cust.select("c_custkey").mapInPandas(
+        gen, schema="zone_id long, cx double, cy double, r double, "
+                    "geometry_wkt string")
+
+
 # ------------------------------------------------------------------------ #
 # zones
 # ------------------------------------------------------------------------ #

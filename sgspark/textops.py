@@ -1,0 +1,209 @@
+"""Text / deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's operator set (ssb-sgis is a spatial toolkit), these
+are the document-pipeline operations the engine must provide at 100TB:
+exact dedup, MinHash-LSH near-dup detection, n-gram Jaccard, SimHash,
+language-ID heuristic, quality scoring, token counting, fingerprinting.
+
+Design rules:
+  * everything stays JVM-side (built-in functions / higher-order functions)
+    except SimHash bit-packing, which is still expressed as 64 codegen'd
+    aggregates — no Python in any hot path;
+  * every oracle-checked op is expressed so DuckDB reproduces values
+    EXACTLY: md5 hex strings (identical in both engines), integer counts,
+    and divisions of integers (same doubles), never order-dependent float
+    sums.
+
+Scale notes: shingle explosion is bounded by bottom-k sketching (the
+LSH band join touches only 16 hashes/doc, not the full shingle set);
+the exact-Jaccard verification joins shingles ONLY for candidate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+SHINGLE = 12           # character shingle width
+SKETCH_K = 16          # bottom-k minhash sketch size
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup by content hash: one surviving (minimum) id per distinct
+    text.  Returns (dup_hash, keeper_id, n_dups)."""
+    return (docs
+            .groupBy(F.md5(F.col(text_col)).alias("dup_hash"))
+            .agg(F.min(id_col).alias("keeper_id"),
+                 F.count("*").alias("n_dups")))
+
+
+def shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+             width: int = SHINGLE) -> DataFrame:
+    """Distinct character shingles per doc (JVM-side transform+explode)."""
+    return (docs
+            .where(F.length(text_col) >= width)
+            .select(F.col(id_col),
+                    F.explode(F.expr(
+                        f"transform(sequence(1, length({text_col}) - {width - 1}), "
+                        f"i -> substring({text_col}, i, {width}))")).alias("sh"))
+            .distinct())
+
+
+def minhash_sketch(sh: DataFrame, id_col: str = "doc_id",
+                   k: int = SKETCH_K) -> DataFrame:
+    """Bottom-k sketch: the k smallest md5(shingle) per doc."""
+    w = Window.partitionBy(id_col).orderBy(F.md5("sh"))
+    return (sh.withColumn("h", F.md5("sh"))
+              .withColumn("rn", F.row_number().over(w))
+              .where(F.col("rn") <= k)
+              .select(id_col, "h"))
+
+
+def lsh_candidate_pairs(sketch: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Docs sharing any bottom-k hash (the LSH bucket join)."""
+    a = sketch.toDF("a", "h")
+    b = sketch.toDF("b", "h")
+    return (a.join(b, "h")
+             .where(F.col("a") < F.col("b"))
+             .select("a", "b").distinct())
+
+
+def near_dup_pairs(docs: DataFrame, *, text_col: str = "text",
+                   id_col: str = "doc_id", threshold: float = 0.2,
+                   width: int = SHINGLE, k: int = SKETCH_K) -> DataFrame:
+    """MinHash-LSH candidates verified by EXACT shingle-set Jaccard.
+    Returns (a, b, jaccard) with jaccard rounded to 6 dp, >= threshold.
+    Exact-parity safe: Jaccard = ratio of integer counts."""
+    sh = shingles(docs, text_col, id_col, width).cache()
+    cand = lsh_candidate_pairs(minhash_sketch(sh, id_col, k), id_col)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    inter = (cand
+             .join(sh.toDF("a", "sh"), "a")
+             .join(sh.toDF("b", "sh_b"), "b")
+             .where(F.col("sh") == F.col("sh_b"))
+             .groupBy("a", "b").agg(F.count("*").alias("inter")))
+    out = (inter
+           .join(sizes.toDF("a", "na"), "a")
+           .join(sizes.toDF("b", "nb"), "b")
+           .withColumn("jaccard",
+                       F.round(F.col("inter") /
+                               (F.col("na") + F.col("nb") - F.col("inter")), 6))
+           .where(F.col("jaccard") >= threshold)
+           .select("a", "b", "jaccard"))
+    return out
+
+
+def simhash(docs: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over whitespace tokens, fully JVM-side: xxhash64 per
+    token, 64 per-bit sign-sum aggregates, repacked to one BIGINT."""
+    toks = docs.select(id_col,
+                       F.explode(F.split(F.col(text_col), " ")).alias("w"))
+    toks = toks.withColumn("hh", F.xxhash64("w"))
+    aggs = [F.sum(F.when((F.shiftright("hh", b).bitwiseAND(F.lit(1))) == 1,
+                         1).otherwise(-1)).alias(f"b{b}")
+            for b in range(64)]
+    sums = toks.groupBy(id_col).agg(*aggs)
+    expr = " + ".join(
+        [f"(case when b{b} > 0 then cast({1 << b if b < 63 else -(1 << 63)} "
+         f"as bigint) else cast(0 as bigint) end)" for b in range(64)])
+    return sums.select(id_col, F.expr(expr).alias("simhash"))
+
+
+def simhash_near_dups(docs: DataFrame, *, max_hamming: int = 8,
+                      text_col: str = "text", id_col: str = "doc_id"
+                      ) -> DataFrame:
+    """SimHash near-dup pairs: band the 64-bit hash into 4 x 16-bit bands
+    (two hashes within hamming distance <= 3 share a band; wider distances
+    caught probabilistically), verify with exact popcount."""
+    sh = simhash(docs, text_col, id_col)
+    bands = sh.select(
+        F.col(id_col), "simhash",
+        F.explode(F.array(*[
+            F.concat(F.lit(f"{i}:"),
+                     F.shiftright("simhash", i * 16).bitwiseAND(F.lit(0xFFFF))
+                     .cast("string")) for i in range(4)])).alias("band"))
+    a = bands.toDF("a", "ha", "band")
+    b = bands.toDF("b", "hb", "band")
+    cand = a.join(b, "band").where(F.col("a") < F.col("b")) \
+            .select("a", "b", "ha", "hb").distinct()
+    return (cand.withColumn("hamming", F.bit_count(
+                F.col("ha").bitwiseXOR(F.col("hb"))))
+            .where(F.col("hamming") <= max_hamming)
+            .select("a", "b", "hamming"))
+
+
+# ---------------------------------------------------------------------- #
+# text analysis
+# ---------------------------------------------------------------------- #
+STOPWORDS = {"en": ["the", "a", "of", "and"],
+             "fr": ["le", "la", "et", "les"],
+             "es": ["el", "la", "y", "los"],
+             "de": ["der", "die", "und", "das"]}
+
+
+def _hits_expr(text_col: str, words: list[str]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return (f"size(filter(split({text_col}, ' '), w -> w in ({lst})))")
+
+
+def token_stats(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_tokens, n_chars, mean_token_len) — whitespace tokenizer.
+    mean_token_len uses only integer-derived arithmetic (exact parity)."""
+    return docs.select(
+        id_col,
+        F.expr(f"size(split({text_col}, ' '))").alias("n_tokens"),
+        F.length(text_col).alias("n_chars_calc"),
+        F.round((F.length(text_col) - (F.expr(f"size(split({text_col}, ' '))") - 1))
+                / F.expr(f"size(split({text_col}, ' '))"), 6).alias("mean_token_len"))
+
+
+def quality_score(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality: stopword ratio + length band + mean token length.
+    All ratios of integers -> exact cross-engine parity."""
+    n_tok = f"size(split({text_col}, ' '))"
+    stop_hits = _hits_expr(text_col, sum(STOPWORDS.values(), []))
+    return docs.select(
+        id_col,
+        F.expr(n_tok).alias("n_tokens"),
+        F.round(F.expr(stop_hits) / F.expr(n_tok), 6).alias("stopword_ratio"),
+        F.round(
+            F.when(F.length(text_col).between(100, 400), F.lit(1.0)).otherwise(0.5)
+            * (F.lit(0.5) + F.expr(stop_hits) / F.expr(n_tok)), 6).alias("quality"))
+
+
+def lang_id(docs: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """n-gram/stopword language-ID heuristic with a deterministic
+    priority tiebreak (en > fr > es > de > und)."""
+    d = docs.select(id_col, *[
+        F.expr(_hits_expr(text_col, ws)).alias(f"hits_{lang}")
+        for lang, ws in STOPWORDS.items()])
+    pred = F.when((F.col("hits_en") > 0) &
+                  (F.col("hits_en") >= F.col("hits_fr")) &
+                  (F.col("hits_en") >= F.col("hits_es")) &
+                  (F.col("hits_en") >= F.col("hits_de")), "en") \
+        .when((F.col("hits_fr") > 0) &
+              (F.col("hits_fr") >= F.col("hits_es")) &
+              (F.col("hits_fr") >= F.col("hits_de")), "fr") \
+        .when((F.col("hits_es") > 0) &
+              (F.col("hits_es") >= F.col("hits_de")), "es") \
+        .when(F.col("hits_de") > 0, "de") \
+        .otherwise("und")
+    return d.select(id_col, pred.alias("lang_pred"))
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Rolling polynomial hash (base 131, modulus 1e9+7 so acc*131+c never
+    overflows int64 under ANSI mode) over the text bytes — JVM-side via
+    aggregate() higher-order function."""
+    return docs.select(
+        id_col,
+        F.expr(
+            f"aggregate(transform(sequence(1, length({text_col})), "
+            f"i -> ascii(substring({text_col}, i, 1))), cast(0 as bigint), "
+            f"(acc, c) -> pmod(acc * 131 + c, 1000000007))"
+        ).alias("fingerprint"))
