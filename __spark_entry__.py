@@ -350,13 +350,18 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1""",
         "near_dup_pairs": shingles + """
           , sk AS (
-            SELECT doc_id, h FROM (
+            SELECT doc_id, h, rn FROM (
               SELECT doc_id, md5(sh) AS h,
                      row_number() OVER (PARTITION BY doc_id ORDER BY md5(sh)) rn
               FROM sh) WHERE rn <= 16
+          ), sig AS (
+            SELECT doc_id, (rn - 1) // 4 AS band,
+                   string_agg(h, '' ORDER BY h) AS bh
+            FROM sk GROUP BY 1, 2
           ), cand AS (
             SELECT DISTINCT s1.doc_id AS a, s2.doc_id AS b
-            FROM sk s1 JOIN sk s2 USING (h) WHERE s1.doc_id < s2.doc_id
+            FROM sig s1 JOIN sig s2 USING (band, bh)
+            WHERE s1.doc_id < s2.doc_id
           ), sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1
           ), inter AS (
             SELECT c.a, c.b, count(*) AS i FROM cand c
@@ -366,7 +371,7 @@ def oracle_sql() -> dict[str, str]:
           SELECT a, b, round(i * 1.0 / (na.n + nb.n - i), 6) AS jaccard
           FROM inter JOIN sizes na ON na.doc_id = a
           JOIN sizes nb ON nb.doc_id = b
-          WHERE round(i * 1.0 / (na.n + nb.n - i), 6) >= 0.2""",
+          WHERE round(i * 1.0 / (na.n + nb.n - i), 6) >= 0.5""",
         "token_stats": """
             SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
                    length(text) AS n_chars_calc,

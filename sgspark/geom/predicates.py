@@ -157,6 +157,124 @@ def points_segments_min_dist(px, py, chain: np.ndarray) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------- #
+# fully-vectorized pair kernels (no per-geometry python loop)
+# ---------------------------------------------------------------------- #
+def _expand(starts: np.ndarray, ends: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(flat_index, owner) arrays concatenating [s,e) ranges."""
+    lens = ends - starts
+    total = int(lens.sum())
+    owner = np.repeat(np.arange(len(starts), dtype=np.int64), lens)
+    if total == 0:
+        return np.zeros(0, dtype=np.int64), owner
+    out = np.ones(total, dtype=np.int64)
+    pos = np.zeros(len(starts) + 1, dtype=np.int64)
+    np.cumsum(lens, out=pos[1:])
+    out[pos[:-1]] = starts
+    nz = pos[1:-1]
+    out[nz] -= starts[:-1] + lens[:-1] - 1
+    return np.cumsum(out), owner
+
+
+def pip_pairs_vectorized(px: np.ndarray, py: np.ndarray, ra: GeomArray,
+                         ri: np.ndarray) -> np.ndarray:
+    """Crossing-number PIP for k candidate pairs (point[k] vs ra[ri[k]]),
+    vectorized over the ragged (pair x edge) expansion — the hot-path
+    kernel for point-in-polygon joins.  Supports multi-ring polygons via
+    even-odd counting (exterior + holes all toggle parity — equivalent to
+    the per-ring logic for valid nested rings).  Boundary points count as
+    inside (on-edge test included)."""
+    ri = np.asarray(ri, dtype=np.int64)
+    # per-geometry contiguous coordinate span (geoms store rings contiguously)
+    gstart = ra.coords_start_per_geom()
+    gcount = ra.coords_count_per_geom()
+    cstart = gstart[ri]
+    cend = cstart + gcount[ri]
+    flat, owner = _expand(cstart, cend - 1)  # edges = consecutive coord pairs
+    if len(flat) == 0:
+        return np.zeros(len(ri), dtype=bool)
+    x1 = ra.coords[flat, 0]
+    y1 = ra.coords[flat, 1]
+    x2 = ra.coords[flat + 1, 0]
+    y2 = ra.coords[flat + 1, 1]
+    # mask out edges that cross ring boundaries (last->first of next ring):
+    # ring ends are where flat+1 is a ring start
+    ring_starts = ra.ring_offsets[:-1]
+    is_ring_start = np.zeros(len(ra.coords) + 1, dtype=bool)
+    is_ring_start[ring_starts] = True
+    valid = ~is_ring_start[flat + 1]
+    PX = px[owner]
+    PY = py[owner]
+    cond = ((y1 > PY) != (y2 > PY)) & valid
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = (x2 - x1) * (PY - y1) / (y2 - y1) + x1
+    crossing = cond & (PX < xint)
+    ncross = np.bincount(owner[crossing], minlength=len(ri))
+    inside = (ncross % 2).astype(bool)
+    # on-edge (boundary counts as intersecting)
+    dx = x2 - x1
+    dy = y2 - y1
+    rx = PX - x1
+    ry = PY - y1
+    cross = dx * ry - dy * rx
+    dot = rx * dx + ry * dy
+    ll = dx * dx + dy * dy
+    on = (cross == 0) & (dot >= 0) & (dot <= ll) & valid
+    on_any = np.bincount(owner[on], minlength=len(ri)) > 0
+    return inside | on_any
+
+
+def point_geom_distance_vectorized(px: np.ndarray, py: np.ndarray,
+                                   ra: GeomArray, ri: np.ndarray
+                                   ) -> np.ndarray:
+    """Min distance from point[k] to geometry ra[ri[k]], vectorized over the
+    ragged (pair x segment) expansion; polygons report 0 when inside."""
+    ri = np.asarray(ri, dtype=np.int64)
+    gstart = ra.coords_start_per_geom()
+    gcount = ra.coords_count_per_geom()
+    single = gcount[ri] == 1  # right side is a point
+    out = np.full(len(ri), np.inf)
+    if single.any():
+        s = gstart[ri[single]]
+        out[single] = np.hypot(px[single] - ra.coords[s, 0],
+                               py[single] - ra.coords[s, 1])
+    multi = ~single
+    if multi.any():
+        idx = np.nonzero(multi)[0]
+        cstart = gstart[ri[idx]]
+        cend = cstart + gcount[ri[idx]]
+        flat, owner = _expand(cstart, cend - 1)
+        ring_starts = ra.ring_offsets[:-1]
+        is_ring_start = np.zeros(len(ra.coords) + 1, dtype=bool)
+        is_ring_start[ring_starts] = True
+        valid = ~is_ring_start[flat + 1]
+        x1 = ra.coords[flat, 0]
+        y1 = ra.coords[flat, 1]
+        dx = ra.coords[flat + 1, 0] - x1
+        dy = ra.coords[flat + 1, 1] - y1
+        PX = px[idx][owner]
+        PY = py[idx][owner]
+        rx = PX - x1
+        ry = PY - y1
+        ll = dx * dx + dy * dy
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = np.clip(np.where(ll > 0, (rx * dx + ry * dy) / ll, 0.0), 0, 1)
+        d2 = (rx - t * dx) ** 2 + (ry - t * dy) ** 2
+        d2 = np.where(valid, d2, np.inf)
+        dmin = np.full(len(idx), np.inf)
+        np.minimum.at(dmin, owner, d2)
+        d = np.sqrt(dmin)
+        # inside-polygon -> 0
+        is_poly = np.isin(ra.kinds[ri[idx]], (3, 6))
+        if is_poly.any():
+            sub = np.nonzero(is_poly)[0]
+            inside = pip_pairs_vectorized(px[idx][sub], py[idx][sub],
+                                          ra, ri[idx][sub])
+            d[sub] = np.where(inside, 0.0, d[sub])
+        out[idx] = d
+    return out
+
+
+# ---------------------------------------------------------------------- #
 # pairwise predicate dispatcher (batch: group by right geometry)
 # ---------------------------------------------------------------------- #
 def _geom_chains(ga: GeomArray, g: int) -> list[np.ndarray]:
@@ -187,25 +305,14 @@ def geom_pair_distance(la: GeomArray, ra: GeomArray,
                        li: np.ndarray, ri: np.ndarray) -> np.ndarray:
     """Distance for candidate pairs (la[li[k]], ra[ri[k]]).  Left side must be
     points (the engine's distance joins are point-driven, mirroring
-    `neighbors.py:291-293`); general left handled via representative coords."""
-    out = np.empty(len(li), dtype=np.float64)
+    `neighbors.py:291-293`); fully vectorized over the ragged pair/segment
+    expansion."""
+    li = np.asarray(li, dtype=np.int64)
+    ri = np.asarray(ri, dtype=np.int64)
     starts = la.coords_start_per_geom()
-    px_all = la.coords[starts, 0]
-    py_all = la.coords[starts, 1]
-    order = np.argsort(ri, kind="stable")
-    fam_cache = {}
-    k = 0
-    while k < len(order):
-        j = k
-        g = ri[order[k]]
-        while j < len(order) and ri[order[j]] == g:
-            j += 1
-        sel = order[k:j]
-        fam = fam_cache.setdefault(g, FAMILY_OF.get(int(ra.kinds[g]), "point"))
-        out[sel] = _geom_distance_to_points(ra, int(g), px_all[li[sel]],
-                                            py_all[li[sel]], fam)
-        k = j
-    return out
+    px_all = la.coords[starts, 0] if len(la.coords) else np.zeros(len(la))
+    py_all = la.coords[starts, 1] if len(la.coords) else np.zeros(len(la))
+    return point_geom_distance_vectorized(px_all[li], py_all[li], ra, ri)
 
 
 def refine_pairs(la: GeomArray, ra: GeomArray, li: np.ndarray, ri: np.ndarray,
@@ -255,26 +362,25 @@ def _intersects_pairs(la, ra, li, ri) -> np.ndarray:
         if len(la.coords) else np.zeros(len(la))
     py_all = la.coords[np.minimum(starts, max(len(la.coords) - 1, 0)), 1] \
         if len(la.coords) else np.zeros(len(la))
-    for g, sel in _group_by_right(ri):
-        rfam = FAMILY_OF.get(int(ra.kinds[g]), "point")
-        lsel = li[sel]
-        simple = left_is_single_point[lsel]
-        # fast path: single-point lefts, vectorized per right geometry
-        if simple.any():
-            s = sel[simple]
-            px, py = px_all[li[s]], py_all[li[s]]
-            if rfam == "polygon":
-                out[s] = points_in_polygon_geom(px, py, ra, g)
-            elif rfam == "line":
-                d = _geom_distance_to_points(ra, g, px, py, "line")
-                out[s] = d == 0.0
-            else:
-                d = _geom_distance_to_points(ra, g, px, py, "point")
-                out[s] = d == 0.0
-        # general path: per-pair geometry test (rare after the fast path)
-        hard = sel[~simple]
-        for k in hard.tolist():
-            out[k] = _geom_geom_intersects(la, int(li[k]), ra, int(ri[k]))
+    simple = left_is_single_point[li]
+    rfam_poly = np.isin(ra.kinds[ri], (3, 6))
+    # HOT PATH: point-left pairs, fully vectorized (PIP for polygon rights,
+    # distance==0 for line/point rights)
+    vec = simple & rfam_poly
+    if vec.any():
+        idx = np.nonzero(vec)[0]
+        out[idx] = pip_pairs_vectorized(px_all[li[idx]], py_all[li[idx]],
+                                        ra, ri[idx])
+    vec2 = simple & ~rfam_poly
+    if vec2.any():
+        idx = np.nonzero(vec2)[0]
+        d = point_geom_distance_vectorized(px_all[li[idx]], py_all[li[idx]],
+                                           ra, ri[idx])
+        out[idx] = d == 0.0
+    # general path: per-pair geometry test (line/polygon lefts)
+    hard = np.nonzero(~simple)[0]
+    for k in hard.tolist():
+        out[k] = _geom_geom_intersects(la, int(li[k]), ra, int(ri[k]))
     return out
 
 
@@ -315,25 +421,38 @@ def _contains_pairs(outer: GeomArray, inner: GeomArray,
                     oi: np.ndarray, ii: np.ndarray) -> np.ndarray:
     """outer[oi[k]] contains inner[ii[k]] (closed semantics ~ covers)."""
     out = np.zeros(len(oi), dtype=bool)
-    for g, sel in _group_by_right(oi):
+    # HOT PATH: single-point inners vs polygon outers — vectorized PIP
+    inner_counts = inner.coords_count_per_geom()
+    pt_inner = (inner_counts[ii] == 1) & np.isin(outer.kinds[oi], (3, 6))
+    if pt_inner.any():
+        idx = np.nonzero(pt_inner)[0]
+        s = inner.coords_start_per_geom()[ii[idx]]
+        out[idx] = pip_pairs_vectorized(inner.coords[s, 0], inner.coords[s, 1],
+                                        outer, oi[idx])
+    rest = np.nonzero(~pt_inner)[0]
+    if len(rest) == 0:
+        return out
+    oi_r = oi[rest]
+    ii_r = ii[rest]
+    for g, sel in _group_by_right(oi_r):
         if FAMILY_OF.get(int(outer.kinds[g]), "point") != "polygon":
             # only polygon containers supported (reference joins use the same)
             continue
         for k in sel.tolist():
-            chains = inner.rings_of_geom(int(ii[k]))
+            chains = inner.rings_of_geom(int(ii_r[k]))
             if not chains:
                 continue
             pts = np.concatenate(chains)
             res = points_in_polygon_geom(pts[:, 0], pts[:, 1], outer, g)
             ok = bool(res.all())
-            if ok and FAMILY_OF.get(int(inner.kinds[int(ii[k])])) == "polygon":
+            if ok and FAMILY_OF.get(int(inner.kinds[int(ii_r[k])])) == "polygon":
                 # vertices inside is not sufficient if boundaries cross
                 for a in chains:
                     for b in outer.rings_of_geom(g):
                         if segments_intersect_any(a, b):
                             ok = _all_edge_midpoints_inside(a, outer, g)
                             break
-            out[k] = ok
+            out[rest[k]] = ok
     return out
 
 

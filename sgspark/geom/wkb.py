@@ -129,7 +129,17 @@ def _dec_one(buf: memoryview, off: int):
 
 def from_wkb(blobs) -> GeomArray:
     """Parse an iterable of WKB byte strings into one GeomArray.
-    None/empty entries become empty POINT geoms (no coords)."""
+    None/empty entries become empty POINT geoms (no coords).
+
+    Fast path: a batch of uniform little-endian POINTs (21 bytes each)
+    decodes with one vectorized frombuffer — the hot case in point joins."""
+    blobs = blobs if isinstance(blobs, list) else list(blobs)
+    if blobs and all(isinstance(b, (bytes, bytearray)) and len(b) == 21
+                     and b[0] == 1 and b[1] == 1 and b[2] == 0 for b in blobs):
+        raw = np.frombuffer(b"".join(blobs), dtype=np.uint8).reshape(-1, 21)
+        xy = raw[:, 5:].copy().view("<f8").reshape(-1, 2)
+        from .array import points as _points
+        return _points(xy)
     ring_lists: list[list] = []
     kinds: list[int] = []
     for b in blobs:

@@ -51,31 +51,43 @@ def shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 def minhash_sketch(sh: DataFrame, id_col: str = "doc_id",
                    k: int = SKETCH_K) -> DataFrame:
-    """Bottom-k sketch: the k smallest md5(shingle) per doc."""
+    """Bottom-k sketch: the k smallest md5(shingle) per doc, with rank."""
     w = Window.partitionBy(id_col).orderBy(F.md5("sh"))
     return (sh.withColumn("h", F.md5("sh"))
               .withColumn("rn", F.row_number().over(w))
               .where(F.col("rn") <= k)
-              .select(id_col, "h"))
+              .select(id_col, "h", "rn"))
 
 
-def lsh_candidate_pairs(sketch: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Docs sharing any bottom-k hash (the LSH bucket join)."""
-    a = sketch.toDF("a", "h")
-    b = sketch.toDF("b", "h")
-    return (a.join(b, "h")
+N_BANDS = 4
+
+
+def lsh_candidate_pairs(sketch: DataFrame, id_col: str = "doc_id",
+                        k: int = SKETCH_K) -> DataFrame:
+    """Banded LSH: group the bottom-k sketch into N_BANDS bands; candidates
+    are docs sharing an ENTIRE band signature.  Banding keeps bucket sizes
+    (and thus the self-join fan-out) small even when single shingle hashes
+    are globally popular — the scale-critical property."""
+    rows_per_band = k // N_BANDS
+    sig = (sketch
+           .withColumn("band", F.floor((F.col("rn") - 1) / rows_per_band))
+           .groupBy(id_col, "band")
+           .agg(F.array_join(F.array_sort(F.collect_list("h")), "").alias("bh")))
+    a = sig.toDF("a", "band", "bh")
+    b = sig.toDF("b", "band", "bh")
+    return (a.join(b, ["band", "bh"])
              .where(F.col("a") < F.col("b"))
              .select("a", "b").distinct())
 
 
 def near_dup_pairs(docs: DataFrame, *, text_col: str = "text",
-                   id_col: str = "doc_id", threshold: float = 0.2,
+                   id_col: str = "doc_id", threshold: float = 0.5,
                    width: int = SHINGLE, k: int = SKETCH_K) -> DataFrame:
     """MinHash-LSH candidates verified by EXACT shingle-set Jaccard.
     Returns (a, b, jaccard) with jaccard rounded to 6 dp, >= threshold.
     Exact-parity safe: Jaccard = ratio of integer counts."""
     sh = shingles(docs, text_col, id_col, width).cache()
-    cand = lsh_candidate_pairs(minhash_sketch(sh, id_col, k), id_col)
+    cand = lsh_candidate_pairs(minhash_sketch(sh, id_col, k), id_col, k)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     inter = (cand
              .join(sh.toDF("a", "sh"), "a")
