@@ -69,7 +69,7 @@ def _union_group_wkb(blobs: list[bytes]) -> bytes:
             parts.append(rings)
     merged = union_many(parts)
     if len(merged) == 1:
-        out = from_rings([merged[0]], [POLYGON])
+        out = from_rings([[merged[0]]], [POLYGON])
     else:
         out = from_rings([merged], [MULTIPOLYGON])
     return to_wkb(out)[0]

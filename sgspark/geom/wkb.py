@@ -71,10 +71,13 @@ def to_wkb(ga: GeomArray) -> list[bytes]:
                      for r in range(r0, r1)]
             parts.append(rings if kind in (POLYGON, MULTIPOLYGON) else rings[0])
         if kind in (POINT, LINESTRING):
-            out.append(_enc_one(kind, parts[0] if kind == POLYGON else
-                                ([parts[0]] if not isinstance(parts[0], list) else parts[0])))
+            out.append(_enc_one(kind, [parts[0]] if not isinstance(parts[0], list)
+                                else parts[0]))
         elif kind == POLYGON:
-            out.append(_enc_one(kind, parts[0]))
+            # defensive: flatten all rings across parts (a POLYGON must be a
+            # single part; malformed multi-part nesting would drop holes)
+            rings = [r for p in parts for r in (p if isinstance(p, list) else [p])]
+            out.append(_enc_one(kind, rings))
         else:
             out.append(_enc_one(kind, parts))
     return out

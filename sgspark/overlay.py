@@ -62,7 +62,7 @@ def _parts_to_wkb(parts: list[list[np.ndarray]]) -> bytes | None:
     if not parts:
         return None
     if len(parts) == 1:
-        return to_wkb(from_rings([parts[0]], [POLYGON]))[0]
+        return to_wkb(from_rings([[parts[0]]], [POLYGON]))[0]
     return to_wkb(from_rings([parts], [MULTIPOLYGON]))[0]
 
 

@@ -96,7 +96,7 @@ def close_small_holes(df: DataFrame, max_area: float,
                         rings.append(hole)
                 parts.append(rings)
             kind = POLYGON if len(parts) == 1 else 6
-            sub = from_rings([parts[0]] if kind == POLYGON else [parts], [kind])
+            sub = from_rings([[parts[0]]] if kind == POLYGON else [parts], [kind])
             blobs.append(to_wkb(sub)[0])
         return blobs, {}
 
@@ -113,7 +113,11 @@ def get_gaps(df: DataFrame, *, id_col: str,
              gridsize: float = 2000.0) -> DataFrame:
     """Enclosed empty regions between polygons (get_gaps,
     polygon_operations.py:1325-1363): bbox − union(polygons), minus the
-    outer region touching the bbox boundary."""
+    outer region touching the bbox boundary.  The layer is dissolved FIRST
+    so enclosed gaps surface as holes of the union, which the difference
+    kernel re-emits as standalone parts.  Limitation: exactly edge-tiled
+    (zero-overlap) coverages rely on the perturbation ladder; snap-rounding
+    noding is future work."""
     spark = df.sparkSession
     b = df.agg(F.min("minx"), F.min("miny"), F.max("maxx"), F.max("maxy")).first()
     pad = 1.0
@@ -123,8 +127,12 @@ def get_gaps(df: DataFrame, *, id_col: str,
     bbox_df = spark.createDataFrame(
         pd.DataFrame({"__bid": [0], "geometry": [bbox_wkb],
                       "minx": [x0], "miny": [y0], "maxx": [x1], "maxy": [y1]}))
-    diff = _difference_rows(bbox_df, df, "__bid", id_col, gridsize)
-    from .dissolve import explode_parts
+    from .dissolve import diss, explode_parts
+    from .io import with_bounds
+    dissolved = with_bounds(
+        diss(df.select(id_col, "geometry"), None).withColumn(
+            id_col, F.lit(0).cast("long")))
+    diff = _difference_rows(bbox_df, dissolved, "__bid", id_col, gridsize)
     parts = explode_parts(diff)
 
     # drop the outer part (touches the padded bbox corner)

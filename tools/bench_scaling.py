@@ -1,0 +1,116 @@
+"""Two-parallelism scaling evidence (north rule: efficiency >= 0.8 from N
+to 4N).  Runs bench.py as a subprocess at local[8] and local[32] on the
+same input, 1 warmup + 3 measured runs each, reports median wall time,
+docs/sec and efficiency = (T_N / T_4N) / 4 into BENCH/BASELINE.md.
+
+Subprocess-per-run so each parallelism level gets a fresh JVM (no
+cross-contamination of codegen caches or shuffle files).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_once(cores: int, sf_dir: str) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores),
+               SPARK_GRAFT_SF_DIR=sf_dir)
+    out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                         env=env, capture_output=True, text=True, timeout=1800)
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    levels = [int(x) for x in os.environ.get("SCALING_LEVELS", "8,32").split(",")]
+    n_runs = int(os.environ.get("SCALING_RUNS", "3"))
+    results = {}
+    for cores in levels:
+        runs = []
+        print(f"== {cores} cores: warmup", flush=True)
+        run_once(cores, sf_dir)
+        for i in range(n_runs):
+            r = run_once(cores, sf_dir)
+            print(f"   run {i}: {r['value']}s {r['queries']}", flush=True)
+            runs.append(r)
+        med = statistics.median([r["value"] for r in runs])
+        med_pipeline = statistics.median(
+            [r["queries"]["spatial_pipeline"] for r in runs])
+        results[cores] = {
+            "median_total_sec": med,
+            "median_spatial_pipeline_sec": med_pipeline,
+            "docs_per_sec": round(runs[0]["n_docs"] / med_pipeline, 1),
+            "runs": [r["value"] for r in runs],
+            "queries_median": {
+                q: statistics.median([r["queries"][q] for r in runs])
+                for q in runs[0]["queries"]},
+            "n_docs": runs[0]["n_docs"],
+        }
+    lo, hi = min(levels), max(levels)
+    factor = hi / lo
+    eff_total = (results[lo]["median_total_sec"] /
+                 results[hi]["median_total_sec"]) / factor
+    eff_pipeline = (results[lo]["median_spatial_pipeline_sec"] /
+                    results[hi]["median_spatial_pipeline_sec"]) / factor
+    summary = {"sf_dir": sf_dir, "levels": results,
+               "scaling_factor": factor,
+               "efficiency_total": round(eff_total, 3),
+               "efficiency_spatial_pipeline": round(eff_pipeline, 3)}
+    print(json.dumps(summary, indent=2))
+    _write_md(summary, lo, hi)
+
+
+def _write_md(s, lo, hi):
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    rl, rh = s["levels"][lo], s["levels"][hi]
+    lines = [
+        "# BENCH/BASELINE.md — measured throughput & scaling",
+        "",
+        f"Input: `{s['sf_dir']}` ({rl['n_docs']} docs; zones = customer-derived "
+        "squares; embeddings table for vector ops).",
+        "Protocol: 1 warmup + 3 measured subprocess runs per level; medians.",
+        "",
+        "| metric | local[{lo}] (N) | local[{hi}] (4N) | efficiency (T_N/T_4N)/4 |"
+        .format(lo=lo, hi=hi),
+        "|---|---|---|---|",
+        f"| headline suite total (s) | {rl['median_total_sec']} | "
+        f"{rh['median_total_sec']} | {s['efficiency_total']} |",
+        f"| spatial pipeline (s) | {rl['median_spatial_pipeline_sec']} | "
+        f"{rh['median_spatial_pipeline_sec']} | "
+        f"{s['efficiency_spatial_pipeline']} |",
+        f"| spatial pipeline docs/sec | {rl['docs_per_sec']} | "
+        f"{rh['docs_per_sec']} | — |",
+        "",
+        "Per-query medians (seconds):",
+        "",
+        "| query | local[{lo}] | local[{hi}] |".format(lo=lo, hi=hi),
+        "|---|---|---|",
+    ]
+    for q in rl["queries_median"]:
+        lines.append(f"| {q} | {rl['queries_median'][q]} | "
+                     f"{rh['queries_median'][q]} |")
+    lines += [
+        "",
+        "North-rule scaling criterion: throughput scaling efficiency >= 0.8 "
+        "from N to 4N parallelism (sandbox proxy for N vs 4N executors: same "
+        "job, same input, local[{lo}] vs local[{hi}]).".format(lo=lo, hi=hi),
+        "",
+        "Notes: suite includes fixed per-job costs (Spark session, plan "
+        "compile, synth of the spans table) that do not scale with cores; "
+        "per-query medians above isolate the scalable portions.",
+    ]
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("wrote BENCH/BASELINE.md")
+
+
+if __name__ == "__main__":
+    main()
