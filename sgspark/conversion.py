@@ -1,0 +1,169 @@
+"""Constructors / conversions — the reference's to_gdf surface.
+
+Reference: `to_gdf` and friends (`geopandas_tools/conversion.py:255-528`),
+`random_points` / `random_points_in_polygons` (`general.py:422-541`),
+`clean_geoms` (`general.py:161-250`), `bounds_to_polygon` /
+`bounds_to_points` (`bounds.py:610-679`).
+
+Randomness is counter-based (splitmix64 of (seed, row)) — order-free and
+partitioning-independent, the only defensible definition of "random" on a
+distributed engine.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .geom.array import POLYGON, from_rings, points as make_points
+from .geom.wkb import from_wkb, to_wkb
+from .synth import _splitmix64
+
+
+def df_from_wkt(spark: SparkSession, wkts: list[str],
+                ids: list | None = None) -> DataFrame:
+    """to_gdf analogue for WKT lists (conversion.py:255-528)."""
+    from .io import wkt_to_wkb_df
+    pdf = pd.DataFrame({"row_id": ids if ids is not None
+                        else list(range(len(wkts))),
+                        "geometry_wkt": wkts})
+    return wkt_to_wkb_df(spark.createDataFrame(pdf))
+
+
+def df_from_xy(spark: SparkSession, xs, ys, ids=None) -> DataFrame:
+    pdf = pd.DataFrame({"row_id": ids if ids is not None
+                        else list(range(len(xs))),
+                        "x": np.asarray(xs, float), "y": np.asarray(ys, float)})
+    ga = make_points(np.stack([pdf.x, pdf.y], axis=1))
+    pdf["geometry"] = to_wkb(ga)
+    pdf["minx"] = pdf.x
+    pdf["miny"] = pdf.y
+    pdf["maxx"] = pdf.x
+    pdf["maxy"] = pdf.y
+    return spark.createDataFrame(pdf)
+
+
+def _u01(i: np.ndarray, field: int, seed: int) -> np.ndarray:
+    base = i.astype(np.uint64) * np.uint64(2654435761) + \
+        np.uint64((field * 0x9E3779B97F4A7C15 + seed) % (1 << 64))
+    return (_splitmix64(base) >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+
+
+def random_points(spark: SparkSession, n: int, bounds: tuple,
+                  seed: int = 42) -> DataFrame:
+    """n uniform points in bounds (random_points, general.py:422-473),
+    distributed + deterministic (counter-based)."""
+    minx, miny, maxx, maxy = bounds
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            i = pdf["id"].to_numpy()
+            x = minx + _u01(i, 1, seed) * (maxx - minx)
+            y = miny + _u01(i, 2, seed) * (maxy - miny)
+            ga = make_points(np.stack([x, y], axis=1))
+            yield pd.DataFrame({"row_id": i, "x": x, "y": y,
+                                "geometry": to_wkb(ga),
+                                "minx": x, "miny": y, "maxx": x, "maxy": y})
+
+    return spark.range(n).mapInPandas(
+        gen, schema="row_id long, x double, y double, geometry binary, "
+                    "minx double, miny double, maxx double, maxy double")
+
+
+def random_points_in_polygons(df: DataFrame, n_per_poly: int, *,
+                              seed: int = 42, id_col: str = "row_id",
+                              max_tries: int = 64) -> DataFrame:
+    """Rejection-sample n points inside each polygon
+    (random_points_in_polygons, general.py:499-541) — per-row kernel,
+    deterministic per (id, k, try)."""
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .geom.predicates import points_in_polygon_geom
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ga = from_wkb(pdf["geometry"].tolist())
+            b = ga.bounds()
+            out_rows = []
+            for g in range(len(ga)):
+                need = n_per_poly
+                got_x, got_y = [], []
+                for t in range(max_tries):
+                    if need <= 0:
+                        break
+                    m = need * 4
+                    i = (np.arange(m, dtype=np.uint64) +
+                         np.uint64(t * 1_000_003))
+                    key = np.uint64(int(pdf[id_col].iloc[g]) % (1 << 32))
+                    x = b[g, 0] + _u01(i + key, 3, seed) * (b[g, 2] - b[g, 0])
+                    y = b[g, 1] + _u01(i + key, 4, seed) * (b[g, 3] - b[g, 1])
+                    ok = points_in_polygon_geom(x, y, ga, g)
+                    take = min(int(ok.sum()), need)
+                    got_x.extend(x[ok][:take].tolist())
+                    got_y.extend(y[ok][:take].tolist())
+                    need -= take
+                for k, (x, y) in enumerate(zip(got_x, got_y)):
+                    out_rows.append((pdf[id_col].iloc[g], k, x, y))
+            if out_rows:
+                yield pd.DataFrame(out_rows,
+                                   columns=[id_col, "pt_idx", "x", "y"])
+
+    id_t = [f.dataType.simpleString() for f in df.schema.fields
+            if f.name == id_col][0]
+    return df.select(id_col, "geometry").mapInPandas(
+        kernel, schema=f"{id_col} {id_t}, pt_idx int, x double, y double")
+
+
+def clean_geoms(df: DataFrame, geometry: str = "geometry") -> DataFrame:
+    """Drop null/empty geometries, close unclosed rings (clean_geoms,
+    general.py:161-250; full GEOS make_valid is out of scope — the boolean
+    kernels apply their own perturbation ladder instead)."""
+    schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                       for f in df.schema.fields)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            keep, blobs = [], []
+            ga = from_wkb(pdf[geometry].tolist())
+            counts = ga.coords_count_per_geom()
+            for g in range(len(ga)):
+                if pdf[geometry].iloc[g] is None or counts[g] == 0:
+                    continue
+                keep.append(g)
+                blobs.append(pdf[geometry].iloc[g])
+            out = pdf.iloc[keep].copy()
+            out[geometry] = blobs
+            yield out
+
+    return df.where(F.col(geometry).isNotNull()).mapInPandas(kernel, schema=schema)
+
+
+def bounds_to_polygon(df: DataFrame) -> DataFrame:
+    """Replace geometry by its bbox polygon (bounds.py:610-650)."""
+    schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                       for f in df.schema.fields)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rings = []
+            for x0, y0, x1, y1 in zip(pdf.minx, pdf.miny, pdf.maxx, pdf.maxy):
+                rings.append([[np.array([[x0, y0], [x1, y0], [x1, y1],
+                                         [x0, y1], [x0, y0]])]])
+            ga = from_rings(rings, [POLYGON] * len(pdf))
+            out = pdf.copy()
+            out["geometry"] = to_wkb(ga)
+            yield out
+
+    return df.mapInPandas(kernel, schema=schema)
+
+
+def get_total_bounds(df: DataFrame) -> tuple:
+    """get_total_bounds (bounds.py:682-705)."""
+    r = df.agg(F.min("minx"), F.min("miny"), F.max("maxx"), F.max("maxy")).first()
+    return tuple(r)

@@ -70,7 +70,9 @@ def to_wkb(ga: GeomArray) -> list[bytes]:
             rings = [ga.coords[ga.ring_offsets[r]:ga.ring_offsets[r + 1]]
                      for r in range(r0, r1)]
             parts.append(rings if kind in (POLYGON, MULTIPOLYGON) else rings[0])
-        if kind in (POINT, LINESTRING):
+        if not parts:
+            out.append(b"")  # empty geometry marker (from_wkb round-trips it)
+        elif kind in (POINT, LINESTRING):
             out.append(_enc_one(kind, [parts[0]] if not isinstance(parts[0], list)
                                 else parts[0]))
         elif kind == POLYGON:
