@@ -180,6 +180,40 @@ def q_zone_dissolve(spark, sf_dir):
     return out.agg(F.count("*").alias("n_parts"))
 
 
+def q_snap(spark, sf_dir):
+    """Snap doc points to the nearest zone-center point within 3000 m;
+    output squared distance (integer-exact, tie-proof)."""
+    from sgspark.point_ops import snap_within_distance
+    from sgspark.conversion import df_from_xy
+    import numpy as np
+    from sgspark.synth import zone_params
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey")
+    pdf = cust.toPandas()
+    k = pdf["c_custkey"].to_numpy()
+    cx, cy, _ = zone_params(k)
+    centers = df_from_xy(spark, cx, cy, ids=k.tolist()) \
+        .withColumnRenamed("row_id", "zone_id")
+    pts = _geo_points(spark, sf_dir)
+    out = snap_within_distance(pts, centers, 3000.0, left_id="doc_id_num",
+                               right_id="zone_id")
+    return out.where(F.col("snap_distance").isNotNull()).select(
+        F.col("doc_id_num").alias("doc_id"),
+        F.round(F.col("snap_distance") * F.col("snap_distance"))
+        .cast("long").alias("d2"))
+
+
+def q_zonal_stats(spark, sf_dir):
+    """Zonal statistics of the deterministic synthetic raster inside a
+    sample of zones (rows-only: raster values not SQL-derivable cheaply)."""
+    from sgspark.zonal import synth_raster_tiles, zonal_stats
+    tiles = synth_raster_tiles(spark, 254000, 6644000, 262000, 6652000,
+                               tile_size=1000.0, res=20.0)
+    zones = _zones(spark, sf_dir).where("zone_id % 37 = 0")
+    out = zonal_stats(zones, tiles, gridsize=1000.0)
+    return out.select("zone_id", "count",
+                      F.round("mean", 6).alias("mean_val"))
+
+
 def q_dedup_exact(spark, sf_dir):
     from sgspark.textops import exact_dedup
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -266,6 +300,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gridloop_tile_counts": q_gridloop_tile_counts,
         "zone_clusters": q_zone_clusters,
         "zone_dissolve": q_zone_dissolve,
+        "snap": q_snap,
+        "zonal_stats": q_zonal_stats,
         "dedup_exact": q_dedup_exact,
         "near_dup_pairs": q_near_dup_pairs,
         "token_stats": q_token_stats,
@@ -344,6 +380,18 @@ def oracle_sql() -> dict[str, str]:
         "gridloop_tile_counts": f"""
             SELECT {tile} AS tile_id, count(*) AS n_points
             FROM documents GROUP BY 1""",
+        "snap": f"""
+            SELECT doc_id, d2 FROM (
+              SELECT d.doc_id,
+                     CAST(({PX} - {ZX}) * ({PX} - {ZX}) +
+                          ({PY} - {ZY}) * ({PY} - {ZY}) AS BIGINT) AS d2,
+                     row_number() OVER (
+                       PARTITION BY d.doc_id
+                       ORDER BY ({PX} - {ZX}) * ({PX} - {ZX}) +
+                                ({PY} - {ZY}) * ({PY} - {ZY}), c.c_custkey
+                     ) AS rk
+              FROM documents d, customer c)
+            WHERE rk = 1 AND d2 <= 9000000""",
         "dedup_exact": """
             SELECT md5(text) AS dup_hash, min(doc_id) AS keeper_id,
                    count(*) AS n_dups

@@ -377,11 +377,42 @@ def _intersects_pairs(la, ra, li, ri) -> np.ndarray:
         d = point_geom_distance_vectorized(px_all[li[idx]], py_all[li[idx]],
                                            ra, ri[idx])
         out[idx] = d == 0.0
+    # rectangle x rectangle: intersects == closed bbox overlap (exact)
+    hard_mask = ~simple
+    if hard_mask.any():
+        l_rect, lb = rect_flags(la)
+        r_rect, rb = rect_flags(ra)
+        rr = hard_mask & l_rect[li] & r_rect[ri]
+        if rr.any():
+            i = np.nonzero(rr)[0]
+            out[i] = ((np.minimum(lb[li[i], 2], rb[ri[i], 2]) >=
+                       np.maximum(lb[li[i], 0], rb[ri[i], 0])) &
+                      (np.minimum(lb[li[i], 3], rb[ri[i], 3]) >=
+                       np.maximum(lb[li[i], 1], rb[ri[i], 1])))
+            hard_mask = hard_mask & ~rr
     # general path: per-pair geometry test (line/polygon lefts)
-    hard = np.nonzero(~simple)[0]
-    for k in hard.tolist():
+    for k in np.nonzero(hard_mask)[0].tolist():
         out[k] = _geom_geom_intersects(la, int(li[k]), ra, int(ri[k]))
     return out
+
+
+def rect_flags(ga: GeomArray) -> tuple[np.ndarray, np.ndarray]:
+    """(is_axis_aligned_rect bool[n], bounds float[n,4]) — single-ring
+    5-point polygons whose vertices all sit on the bbox edges."""
+    counts = ga.coords_count_per_geom()
+    starts = ga.coords_start_per_geom()
+    b = ga.bounds()
+    is_r = (counts == 5) & np.isin(ga.kinds, (3,))
+    idx = np.nonzero(is_r)[0]
+    if len(idx):
+        # vectorized: gather the 5 points of each candidate
+        gather = starts[idx][:, None] + np.arange(5)[None, :]
+        cx = ga.coords[gather.ravel(), 0].reshape(-1, 5)
+        cy = ga.coords[gather.ravel(), 1].reshape(-1, 5)
+        on_x = ((cx == b[idx, 0][:, None]) | (cx == b[idx, 2][:, None])).all(axis=1)
+        on_y = ((cy == b[idx, 1][:, None]) | (cy == b[idx, 3][:, None])).all(axis=1)
+        is_r[idx] = on_x & on_y
+    return is_r, b
 
 
 def _geom_geom_intersects(la, lg, ra, rg) -> bool:

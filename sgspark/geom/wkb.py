@@ -85,6 +85,28 @@ def to_wkb(ga: GeomArray) -> list[bytes]:
     return out
 
 
+def rect_polygon_wkb(x0: np.ndarray, y0: np.ndarray,
+                     x1: np.ndarray, y1: np.ndarray) -> list[bytes]:
+    """Vectorized WKB writer for n axis-aligned rectangle polygons
+    (closed 5-point single ring) — the hot output path of rectangle
+    overlays. 93 bytes each, assembled in one numpy buffer."""
+    n = len(x0)
+    buf = np.zeros((n, 93), dtype=np.uint8)
+    buf[:, 0] = 1                      # little endian
+    buf[:, 1] = 3                      # POLYGON
+    buf[:, 5] = 1                      # 1 ring
+    buf[:, 9] = 5                      # 5 points
+    coords = np.empty((n, 10), dtype="<f8")
+    coords[:, 0], coords[:, 1] = x0, y0
+    coords[:, 2], coords[:, 3] = x1, y0
+    coords[:, 4], coords[:, 5] = x1, y1
+    coords[:, 6], coords[:, 7] = x0, y1
+    coords[:, 8], coords[:, 9] = x0, y0
+    buf[:, 13:] = coords.view(np.uint8).reshape(n, 80)
+    raw = buf.tobytes()
+    return [raw[i * 93:(i + 1) * 93] for i in range(n)]
+
+
 # ---------------------------------------------------------------------- #
 # WKB decode
 # ---------------------------------------------------------------------- #

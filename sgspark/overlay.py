@@ -85,22 +85,51 @@ def _intersection_rows(df1, df2, id1, id2, gridsize) -> DataFrame:
     schema = f"{id1} {id1_t}, {rid} {id2_t}, geometry binary"
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .geom.wkb import rect_polygon_wkb
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             la = from_wkb(pdf["__g1"].tolist())
             ra = from_wkb(pdf["__g2"].tolist())
+            # FAST PATH: axis-aligned-rectangle pairs -> vectorized interval
+            # intersection (exact), no polygon-boolean python work
+            lrect = _is_rect(la)
+            rrect = _is_rect(ra)
+            both = lrect[0] & rrect[0]
+            frames = []
+            if both.any():
+                i = np.nonzero(both)[0]
+                bx0 = np.maximum(lrect[1][i, 0], rrect[1][i, 0])
+                by0 = np.maximum(lrect[1][i, 1], rrect[1][i, 1])
+                bx1 = np.minimum(lrect[1][i, 2], rrect[1][i, 2])
+                by1 = np.minimum(lrect[1][i, 3], rrect[1][i, 3])
+                ok = (bx1 > bx0) & (by1 > by0)
+                j = i[ok]
+                if len(j):
+                    frames.append(pd.DataFrame({
+                        id1: pdf[id1].to_numpy()[j],
+                        rid: pdf[rid].to_numpy()[j],
+                        "geometry": rect_polygon_wkb(bx0[ok], by0[ok],
+                                                     bx1[ok], by1[ok])}))
             out_rows = []
-            for k in range(len(pdf)):
+            for k in np.nonzero(~both)[0].tolist():
                 res = polygon_boolean(_parts_of(la, k), _parts_of(ra, k),
                                       "intersection")
                 wkb = _parts_to_wkb(res)
                 if wkb is not None:
                     out_rows.append((pdf[id1].iloc[k], pdf[rid].iloc[k], wkb))
             if out_rows:
-                yield pd.DataFrame(out_rows, columns=[id1, rid, "geometry"])
+                frames.append(pd.DataFrame(out_rows,
+                                           columns=[id1, rid, "geometry"]))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
 
     return withg.mapInPandas(kernel, schema=schema)
+
+
+def _is_rect(ga: GeomArray) -> tuple[np.ndarray, np.ndarray]:
+    from .geom.predicates import rect_flags
+    return rect_flags(ga)
 
 
 def _difference_rows(df1, df2, id1, id2, gridsize) -> DataFrame:

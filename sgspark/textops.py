@@ -51,12 +51,14 @@ def shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 def minhash_sketch(sh: DataFrame, id_col: str = "doc_id",
                    k: int = SKETCH_K) -> DataFrame:
-    """Bottom-k sketch: the k smallest md5(shingle) per doc, with rank."""
-    w = Window.partitionBy(id_col).orderBy(F.md5("sh"))
-    return (sh.withColumn("h", F.md5("sh"))
-              .withColumn("rn", F.row_number().over(w))
-              .where(F.col("rn") <= k)
-              .select(id_col, "h", "rn"))
+    """Bottom-k sketch: the k smallest md5(shingle) per doc, with rank.
+    Hash-aggregation (array_sort + slice) instead of a window sort — one
+    partial-aggregating shuffle, no per-partition total sort."""
+    agg = (sh.groupBy(id_col)
+           .agg(F.slice(F.array_sort(F.collect_list(F.md5("sh"))), 1, k)
+                .alias("hs")))
+    return agg.select(id_col, F.posexplode("hs").alias("rn0", "h")) \
+              .withColumn("rn", F.col("rn0") + 1).drop("rn0")
 
 
 N_BANDS = 4

@@ -78,21 +78,25 @@ def cosine_topk_lsh(vecs: DataFrame, k: int, *, id_col: str = "vec_id",
     bucket in any of `n_tables` tables, then exact quantized cosine.
     The scale path: bucket join instead of cross join."""
     dim = len(vecs.select(vec_col).first()[0])
-    q = _quantized(vecs.withColumn("__v", F.col(vec_col)), "__v", id_col, "a") \
-        .join(vecs.select(F.col(id_col).alias("a"), F.col(vec_col).alias("__v")), "a")
+    q = _quantized(vecs, vec_col, id_col, "a").cache()
+    # bucket ids only (narrow rows); quantized arrays re-attached after dedup
+    vids = vecs.select(F.col(id_col).alias("a"), F.col(vec_col).alias("__v"))
     tables = []
     for t in range(n_tables):
         expr = _srp_bucket_expr("__v", n_bits, dim)
-        tables.append(q.withColumn(
-            "bucket", F.concat(F.lit(f"{t}:"), F.expr(expr).cast("string"))))
+        tables.append(vids.select(
+            "a", F.concat(F.lit(f"{t}:"), F.expr(expr).cast("string"))
+            .alias("bucket")))
     bucketed = tables[0]
     for t in tables[1:]:
         bucketed = bucketed.unionByName(t)
-    lhs = bucketed.select(F.col("a"), F.col("q_a"), F.col("n_a"), "bucket")
-    rhs = bucketed.select(F.col("a").alias("b"), F.col("q_a").alias("q_b"),
-                          F.col("n_a").alias("n_b"), "bucket")
-    cand = (lhs.join(rhs, "bucket").where(F.col("a") != F.col("b"))
-            .select("a", "b", "q_a", "q_b", "n_a", "n_b").distinct())
+    ids = (bucketed.join(bucketed.select(F.col("a").alias("b"), "bucket"),
+                         "bucket")
+           .where(F.col("a") != F.col("b"))
+           .select("a", "b").distinct())
+    cand = ids.join(q, "a") \
+              .join(q.select(F.col("a").alias("b"), F.col("q_a").alias("q_b"),
+                             F.col("n_a").alias("n_b")), "b")
     pairs = (cand.withColumn("dot", F.expr(
                 "aggregate(zip_with(q_a, q_b, (x, y) -> x * y), "
                 "cast(0 as bigint), (acc, v) -> acc + v)"))
