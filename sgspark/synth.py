@@ -191,7 +191,11 @@ def documents_with_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             yield gen_documents_pdf(pdf["doc_id"].to_numpy())
 
-    return flat.select("doc_id").mapInPandas(gen, schema=DOC_SCHEMA)
+    # single-file parquet reads land in ONE partition — rebalance so span
+    # synthesis / extraction parallelize (scaling-critical)
+    par = max(int(spark.sparkContext.defaultParallelism) * 2, 8)
+    return flat.select("doc_id").repartition(par).mapInPandas(
+        gen, schema=DOC_SCHEMA)
 
 
 def zones_from_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -208,7 +212,8 @@ def zones_from_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "geometry_wkt": [zone_square_wkt(a, b, c)
                                  for a, b, c in zip(cx, cy, r)]})
 
-    return cust.select("c_custkey").mapInPandas(
+    par = max(int(spark.sparkContext.defaultParallelism), 8)
+    return cust.select("c_custkey").repartition(par).mapInPandas(
         gen, schema="zone_id long, cx double, cy double, r double, "
                     "geometry_wkt string")
 

@@ -21,7 +21,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def run_once(cores: int, sf_dir: str) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores),
-               SPARK_GRAFT_SF_DIR=sf_dir)
+               SPARK_GRAFT_SF_DIR=sf_dir,
+               SPARK_GRAFT_SCALE=os.environ.get("SCALING_SCALE", "20"))
     out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
                          env=env, capture_output=True, text=True, timeout=1800)
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
