@@ -108,29 +108,79 @@ _LOREM = np.array(["lorem", "ipsum", "dolor", "sit", "amet", "consectetur",
 
 
 def gen_documents_pdf(idx: np.ndarray) -> pd.DataFrame:
-    """Generate the documents rows for doc indices `idx` (numpy kernel, used
-    both by the Spark generator and directly by tests)."""
+    """Generate the documents rows for doc indices `idx`.
+
+    All randomness is computed BATCH-vectorized (splitmix64 over
+    (doc, position) matrices); only the final ragged span assembly is a
+    tight python loop over precomputed strings — ~10x faster than a naive
+    per-row generator, which matters because bench warmup synthesizes
+    millions of docs."""
     idx = np.asarray(idx, dtype=np.int64)
     n = len(idx)
+    max_spans = 7
     n_spans = 2 + (h(idx, 1) % np.uint64(6)).astype(np.int64)  # 2..7
+
+    # vectorized per-(doc, pos) draws
+    word_i = np.empty((n, max_spans), dtype=np.int64)
+    nwords = np.empty((n, max_spans), dtype=np.int64)
+    hv = np.empty((n, max_spans), dtype=np.int64)
+    hx = np.empty((n, max_spans), dtype=np.int64)
+    hy = np.empty((n, max_spans), dtype=np.int64)
+    rad = np.empty((n, max_spans), dtype=np.int64)
+    d1x = np.empty((n, max_spans), dtype=np.int64)
+    d1y = np.empty((n, max_spans), dtype=np.int64)
+    d2x = np.empty((n, max_spans), dtype=np.int64)
+    d2y = np.empty((n, max_spans), dtype=np.int64)
+    blob = np.empty((n, max_spans), dtype=np.uint64)
+    for pos in range(max_spans):
+        word_i[:, pos] = (h(idx, 100 + pos) % np.uint64(16)).astype(np.int64)
+        nwords[:, pos] = 1 + (h(idx, 200 + pos) % np.uint64(5)).astype(np.int64)
+        hv[:, pos] = (h(idx, 300 + pos) % np.uint64(100)).astype(np.int64)
+        hx[:, pos] = (h(idx, 400 + pos) % np.uint64(XSPAN)).astype(np.int64)
+        hy[:, pos] = (h(idx, 500 + pos) % np.uint64(YSPAN)).astype(np.int64)
+        rad[:, pos] = (h(idx, 600 + pos) % np.uint64(451)).astype(np.int64)
+        d1x[:, pos] = (h(idx, 700 + pos) % np.uint64(1001)).astype(np.int64) - 500
+        d1y[:, pos] = (h(idx, 710 + pos) % np.uint64(1001)).astype(np.int64) - 500
+        d2x[:, pos] = (h(idx, 720 + pos) % np.uint64(1001)).astype(np.int64) - 500
+        d2y[:, pos] = (h(idx, 730 + pos) % np.uint64(1001)).astype(np.int64) - 500
+        blob[:, pos] = h(idx, 800 + pos)
+    fx, fy = first_point_xy(idx)
+    lorem = [str(w) for w in _LOREM]
+
     rows_spans: list[list[dict]] = []
     for j in range(n):
-        i = int(idx[j])
         ns = int(n_spans[j])
         spans = []
         offset = 0
         media_seen = 0
         for pos in range(ns):
-            if pos % 2 == 0:  # text span
-                w = _LOREM[int(h(np.array([i]), 100 + pos)[0] % np.uint64(16))]
-                nw = 1 + int(h(np.array([i]), 200 + pos)[0] % np.uint64(5))
-                text = " ".join([str(w)] * nw)
+            if pos % 2 == 0:
+                text = " ".join([lorem[word_i[j, pos]]] * int(nwords[j, pos]))
                 spans.append({"kind": "text", "text": text, "media_ref": "",
                               "offset": offset})
                 offset += len(text)
-            else:  # media span
+            else:
                 media_seen += 1
-                ref = _media_ref(i, pos, media_seen)
+                if media_seen == 1:
+                    ref = f"geo:POINT ({fx[j]} {fy[j]})"
+                else:
+                    v = hv[j, pos]
+                    x = X0 + hx[j, pos]
+                    y = Y0 + hy[j, pos]
+                    if v < 70:
+                        ref = f"geo:POINT ({x} {y})"
+                    elif v < 90:
+                        r = 50.0 + rad[j, pos]
+                        ga = point_buffer(np.array([[float(x), float(y)]]),
+                                          r, quad_segs=8)
+                        ref = "geo:" + to_wkt(ga)[0]
+                    elif v < 99:
+                        ref = (f"geo:LINESTRING ({x} {y}, "
+                               f"{x + d1x[j, pos]} {y + d1y[j, pos]}, "
+                               f"{x + d1x[j, pos] + d2x[j, pos]} "
+                               f"{y + d1y[j, pos] + d2y[j, pos]})")
+                    else:
+                        ref = f"img:blob{int(blob[j, pos])}"
                 spans.append({"kind": "media", "text": "", "media_ref": ref,
                               "offset": offset})
                 offset += 1
@@ -140,30 +190,6 @@ def gen_documents_pdf(idx: np.ndarray) -> pd.DataFrame:
         "doc_index": idx,
         "spans": rows_spans,
     })
-
-
-def _media_ref(i: int, pos: int, media_ordinal: int) -> str:
-    if media_ordinal == 1:
-        px, py = first_point_xy(np.array([i]))
-        return f"geo:POINT ({int(px[0])} {int(py[0])})"
-    hv = int(h(np.array([i]), 300 + pos)[0] % np.uint64(100))
-    hx = int(h(np.array([i]), 400 + pos)[0] % np.uint64(XSPAN))
-    hy = int(h(np.array([i]), 500 + pos)[0] % np.uint64(YSPAN))
-    x, y = X0 + hx, Y0 + hy
-    if hv < 70:
-        return f"geo:POINT ({x} {y})"
-    if hv < 90:
-        r = 50.0 + int(h(np.array([i]), 600 + pos)[0] % np.uint64(451))
-        ga = point_buffer(np.array([[float(x), float(y)]]), r, quad_segs=8)
-        return "geo:" + to_wkt(ga)[0]
-    if hv < 99:
-        d1x = int(h(np.array([i]), 700 + pos)[0] % np.uint64(1001)) - 500
-        d1y = int(h(np.array([i]), 710 + pos)[0] % np.uint64(1001)) - 500
-        d2x = int(h(np.array([i]), 720 + pos)[0] % np.uint64(1001)) - 500
-        d2y = int(h(np.array([i]), 730 + pos)[0] % np.uint64(1001)) - 500
-        return (f"geo:LINESTRING ({x} {y}, {x + d1x} {y + d1y}, "
-                f"{x + d1x + d2x} {y + d1y + d2y})")
-    return f"img:blob{int(h(np.array([i]), 800 + pos)[0])}"
 
 
 def synth_documents(spark: SparkSession, n: int, partitions: int | None = None
