@@ -81,9 +81,11 @@ def main():
                             .withColumnRenamed("miny", "y"), 1000,
                             out_col="tile_id")
         pairs = sjoin_pairs(
-            pts, zones, "within", left_id="doc_index", right_id="zone_id")
+            pts, zones, "within", left_id="doc_index", right_id="zone_id",
+            broadcast_right=True)
         agg = pairs.agg(F.count("*").alias("n"),
-                        F.sum(F.col("doc_index") * F.col("zone_id")).alias("chk"))
+                        F.expr("bit_xor(doc_index * 1000003 + zone_id)")
+                        .alias("chk"))
         t = tiled.groupBy("tile_id").count().agg(
             F.count("*"), F.sum("count")).collect()
         a = agg.collect()
@@ -107,7 +109,10 @@ def main():
 
     def knn():
         centers = zones.selectExpr("zone_id", "cx AS x", "cy AS y")
-        p = pts.selectExpr("doc_index AS doc_id", "minx AS x", "miny AS y")
+        # kNN left side capped at 200k docs so the suite stays bounded at
+        # large --scale values (the spatial pipeline is the scaling metric)
+        p = pts.where(F.col("doc_index") % max(n_docs // 200_000, 1) == 0) \
+               .selectExpr("doc_index AS doc_id", "minx AS x", "miny AS y")
         out = get_k_nearest_neighbors(p, centers, 3, left_id="doc_id",
                                       right_id="zone_id")
         out.agg(F.count("*"), F.sum("distance")).collect()
