@@ -102,7 +102,7 @@ def q_knn(spark, sf_dir):
     out = get_k_nearest_neighbors(pts, centers, 3, left_id="doc_id",
                                   right_id="zone_id")
     return out.select("doc_id", F.col("neighbor_index").alias("neighbor_id"),
-                      F.col("k").alias("k_rank"),
+                      F.col("k").cast("long").alias("k_rank"),
                       F.round(F.col("distance") * F.col("distance"))
                       .cast("long").alias("d2"))
 

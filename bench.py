@@ -80,9 +80,13 @@ def main():
         tiled = add_grid_id(pts.withColumnRenamed("minx", "x")
                             .withColumnRenamed("miny", "y"), 1000,
                             out_col="tile_id")
+        # SPARK_GRAFT_FORCE_KERNEL=1 exercises the fully-distributed Arrow
+        # kernel path (no broadcast, no JVM predicate compilation) — the
+        # general-geometry path, used for the CPU-bound scaling measurement
+        force_kernel = os.environ.get("SPARK_GRAFT_FORCE_KERNEL") == "1"
         pairs = sjoin_pairs(
             pts, zones, "within", left_id="doc_index", right_id="zone_id",
-            broadcast_right=True)
+            broadcast_right=False if force_kernel else True)
         agg = pairs.agg(F.count("*").alias("n"),
                         F.expr("bit_xor(doc_index * 1000003 + zone_id)")
                         .alias("chk"))

@@ -41,13 +41,17 @@ DEFAULT_GRIDSIZE = 2000.0
 def _cover_cells(df: DataFrame, gridsize: float, expand: float = 0.0,
                  prefix: str = "") -> DataFrame:
     """Explode rows into covering cell keys — pure Spark SQL (sequence +
-    explode), no Python.  Adds `cell_key`, and `{prefix}cminx/{prefix}cminy`
-    (the bbox used for covering, needed by the anchor-dedup)."""
+    explode), no Python.  Adds `cell_key` and the (expanded) cover bbox
+    `{prefix}cminx..{prefix}cmaxy` — used by the anchor-dedup AND pushed
+    into the join condition so bbox-disjoint candidates are dropped
+    JVM-side before any Arrow transfer."""
     g = float(gridsize)
     e = float(expand)
     df = (df
           .withColumn(f"{prefix}cminx", F.col("minx") - e)
           .withColumn(f"{prefix}cminy", F.col("miny") - e)
+          .withColumn(f"{prefix}cmaxx", F.col("maxx") + e)
+          .withColumn(f"{prefix}cmaxy", F.col("maxy") + e)
           .withColumn("__cx0", F.expr(f"cast(floor((minx - {e} + {FALSE_EASTING}) / {g}) as bigint)"))
           .withColumn("__cx1", F.expr(f"cast(floor((maxx + {e} + {FALSE_EASTING}) / {g}) as bigint)"))
           .withColumn("__cy0", F.expr(f"cast(floor((miny - {e}) / {g}) as bigint)"))
@@ -98,14 +102,24 @@ def sjoin_pairs(left: DataFrame, right: DataFrame, predicate: str = "intersects"
                     "minx", "miny", "maxx", "maxy")
     l = _cover_cells(l, gridsize, expand=expand, prefix="l_") \
         .select("__lid", "__lg", "cell_key",
-                F.col("l_cminx").alias("__lminx"), F.col("l_cminy").alias("__lminy"))
+                F.col("l_cminx").alias("__lminx"), F.col("l_cminy").alias("__lminy"),
+                F.col("l_cmaxx").alias("__lmaxx"), F.col("l_cmaxy").alias("__lmaxy"))
     r = right.select(F.col(right_id).alias("__rid"), F.col("geometry").alias("__rg"),
                      "minx", "miny", "maxx", "maxy")
     r = _cover_cells(r, gridsize, prefix="r_") \
         .select("__rid", "__rg", "cell_key",
-                F.col("r_cminx").alias("__rminx"), F.col("r_cminy").alias("__rminy"))
+                F.col("r_cminx").alias("__rminx"), F.col("r_cminy").alias("__rminy"),
+                F.col("r_cmaxx").alias("__rmaxx"), F.col("r_cmaxy").alias("__rmaxy"))
 
-    cand = l.join(r, "cell_key", "inner")
+    # equi-join on cell + bbox-overlap as a JVM join filter: bbox-disjoint
+    # cell cohabitants never reach the Python kernel
+    cand = l.join(r, (l["cell_key"] == r["cell_key"]) &
+                  (F.col("__lminx") <= F.col("__rmaxx")) &
+                  (F.col("__lmaxx") >= F.col("__rminx")) &
+                  (F.col("__lminy") <= F.col("__rmaxy")) &
+                  (F.col("__lmaxy") >= F.col("__rminy")), "inner") \
+        .drop(r["cell_key"]) \
+        .drop("__lmaxx", "__lmaxy", "__rmaxx", "__rmaxy")
 
     lid_t = dict(zip(left.schema.names, [f.dataType.simpleString() for f in left.schema.fields]))[left_id]
     rid_t = dict(zip(right.schema.names, [f.dataType.simpleString() for f in right.schema.fields]))[right_id]
@@ -203,14 +217,24 @@ def _sjoin_pairs_broadcast(left: DataFrame, right: DataFrame, predicate: str,
         "__rid": rids[gi] if len(gi) else rids[:0],
         "cell_key": keys,
         "__rminx": rb[gi, 0] if len(gi) else np.zeros(0),
-        "__rminy": rb[gi, 1] if len(gi) else np.zeros(0)}))
+        "__rminy": rb[gi, 1] if len(gi) else np.zeros(0),
+        "__rmaxx": rb[gi, 2] if len(gi) else np.zeros(0),
+        "__rmaxy": rb[gi, 3] if len(gi) else np.zeros(0)}))
 
     l = left.select(F.col(left_id).alias("__lid"), F.col("geometry").alias("__lg"),
                     "minx", "miny", "maxx", "maxy")
     l = _cover_cells(l, gridsize, expand=expand, prefix="l_") \
         .select("__lid", "__lg", "cell_key",
-                F.col("l_cminx").alias("__lminx"), F.col("l_cminy").alias("__lminy"))
-    cand = l.join(F.broadcast(rcells), "cell_key", "inner")
+                F.col("l_cminx").alias("__lminx"), F.col("l_cminy").alias("__lminy"),
+                F.col("l_cmaxx").alias("__lmaxx"), F.col("l_cmaxy").alias("__lmaxy"))
+    rc = F.broadcast(rcells)
+    cand = l.join(rc, (l["cell_key"] == rcells["cell_key"]) &
+                  (F.col("__lminx") <= F.col("__rmaxx")) &
+                  (F.col("__lmaxx") >= F.col("__rminx")) &
+                  (F.col("__lminy") <= F.col("__rmaxy")) &
+                  (F.col("__lmaxy") >= F.col("__rminy")), "inner") \
+        .drop(rcells["cell_key"]) \
+        .drop("__lmaxx", "__lmaxy", "__rmaxx", "__rmaxy")
 
     lid_t = dict(zip(left.schema.names,
                      [f.dataType.simpleString() for f in left.schema.fields]))[left_id]

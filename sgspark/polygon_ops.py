@@ -228,6 +228,99 @@ def eliminate_by_smallest(df: DataFrame, to_eliminate: DataFrame, **kw):
     return eliminate_by_largest(df, to_eliminate, largest=False, **kw)
 
 
+def _shared_border_length(la, ra, li, ri) -> np.ndarray:
+    """Length of collinear segment overlap between boundary chains of pair
+    (la[li[k]], ra[ri[k]]) — the reference's to_lines + overlay-intersection
+    length (`polygon_operations.py:342-366`), computed directly."""
+    out = np.zeros(len(li), dtype=np.float64)
+    for k in range(len(li)):
+        total = 0.0
+        for a in la.rings_of_geom(int(li[k])):
+            ax1, ay1 = a[:-1, 0], a[:-1, 1]
+            ax2, ay2 = a[1:, 0], a[1:, 1]
+            adx, ady = ax2 - ax1, ay2 - ay1
+            for b in ra.rings_of_geom(int(ri[k])):
+                bx1, by1 = b[:-1, 0], b[:-1, 1]
+                bx2, by2 = b[1:, 0], b[1:, 1]
+                bdx, bdy = bx2 - bx1, by2 - by1
+                # parallel test (cross of directions == 0), vectorized pairs
+                cross = adx[:, None] * bdy[None, :] - ady[:, None] * bdx[None, :]
+                # collinear: (b1 - a1) x adir == 0
+                c2 = (adx[:, None] * (by1[None, :] - ay1[:, None]) -
+                      ady[:, None] * (bx1[None, :] - ax1[:, None]))
+                cand = (cross == 0) & (c2 == 0)
+                ia, ib = np.nonzero(cand)
+                for i, j in zip(ia.tolist(), ib.tolist()):
+                    ll = adx[i] * adx[i] + ady[i] * ady[i]
+                    if ll == 0:
+                        continue
+                    t1 = ((bx1[j] - ax1[i]) * adx[i] + (by1[j] - ay1[i]) * ady[i]) / ll
+                    t2 = ((bx2[j] - ax1[i]) * adx[i] + (by2[j] - ay1[i]) * ady[i]) / ll
+                    lo, hi = max(min(t1, t2), 0.0), min(max(t1, t2), 1.0)
+                    if hi > lo:
+                        total += (hi - lo) * np.sqrt(ll)
+        out[k] = total
+    return out
+
+
+def eliminate_by_longest(df: DataFrame, to_eliminate: DataFrame, *,
+                         id_col: str, gridsize: float = 2000.0) -> DataFrame:
+    """Merge slivers into the neighbor sharing the LONGEST border
+    (eliminate_by_longest, polygon_operations.py:226-494): candidate
+    neighbors from the cell join, shared-border length from the collinear
+    segment-overlap kernel, argmax per sliver via window, then the same
+    union/attribute plumbing as eliminate_by_largest."""
+    pairs = sjoin_pairs(to_eliminate, df, "intersects", left_id=id_col,
+                        right_id=id_col, gridsize=gridsize)
+    sliver_id, keeper_id = pairs.columns[0], pairs.columns[1]
+    sg = to_eliminate.select(F.col(id_col).alias(sliver_id),
+                             F.col("geometry").alias("__sg"))
+    kg = df.select(F.col(id_col).alias(keeper_id),
+                   F.col("geometry").alias("__kg"))
+    withg = pairs.join(sg, sliver_id).join(kg, keeper_id)
+
+    sid_t = [f.dataType.simpleString() for f in to_eliminate.schema.fields
+             if f.name == id_col][0]
+    kid_t = [f.dataType.simpleString() for f in df.schema.fields
+             if f.name == id_col][0]
+    schema = f"{sliver_id} {sid_t}, {keeper_id} {kid_t}, border double"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            scodes, su = pd.factorize(pdf["__sg"], use_na_sentinel=False)
+            kcodes, ku = pd.factorize(pdf["__kg"], use_na_sentinel=False)
+            la = from_wkb(list(su))
+            ra = from_wkb(list(ku))
+            border = _shared_border_length(la, ra,
+                                           np.asarray(scodes, dtype=np.int64),
+                                           np.asarray(kcodes, dtype=np.int64))
+            yield pd.DataFrame({sliver_id: pdf[sliver_id].to_numpy(),
+                                keeper_id: pdf[keeper_id].to_numpy(),
+                                "border": border})
+
+    borders = withg.mapInPandas(kernel, schema=schema)
+    w = Window.partitionBy(sliver_id).orderBy(F.col("border").desc(),
+                                              F.col(keeper_id))
+    chosen = (borders.where(F.col("border") > 0)
+              .withColumn("__rk", F.row_number().over(w))
+              .where(F.col("__rk") == 1).select(sliver_id, keeper_id))
+    host_extra = chosen.join(
+        to_eliminate.select(F.col(id_col).alias(sliver_id),
+                            F.col("geometry").alias("__sg")), sliver_id) \
+        .select(F.col(keeper_id).alias(id_col), F.col("__sg").alias("geometry"))
+    union_in = df.select(id_col, "geometry").unionByName(host_extra)
+    from .dissolve import diss
+    merged = diss(union_in, [id_col])
+    attrs = df.drop("geometry", "minx", "miny", "maxx", "maxy")
+    out = attrs.join(merged, id_col, "inner")
+    isolated = to_eliminate.join(chosen.select(F.col(sliver_id).alias(id_col)),
+                                 id_col, "left_anti") \
+        .drop("minx", "miny", "maxx", "maxy")
+    return out.unionByName(isolated, allowMissingColumns=True)
+
+
 def _with_area(df: DataFrame, id_col: str) -> DataFrame:
     def kernel(batches):
         for pdf in batches:

@@ -167,8 +167,8 @@ def token_stats(docs: DataFrame, text_col: str = "text",
     mean_token_len uses only integer-derived arithmetic (exact parity)."""
     return docs.select(
         id_col,
-        F.expr(f"size(split({text_col}, ' '))").alias("n_tokens"),
-        F.length(text_col).alias("n_chars_calc"),
+        F.expr(f"cast(size(split({text_col}, ' ')) as bigint)").alias("n_tokens"),
+        F.length(text_col).cast("long").alias("n_chars_calc"),
         F.round((F.length(text_col) - (F.expr(f"size(split({text_col}, ' '))") - 1))
                 / F.expr(f"size(split({text_col}, ' '))"), 6).alias("mean_token_len"))
 
@@ -181,7 +181,7 @@ def quality_score(docs: DataFrame, text_col: str = "text",
     stop_hits = _hits_expr(text_col, sum(STOPWORDS.values(), []))
     return docs.select(
         id_col,
-        F.expr(n_tok).alias("n_tokens"),
+        F.expr(n_tok).cast("long").alias("n_tokens"),
         F.round(F.expr(stop_hits) / F.expr(n_tok), 6).alias("stopword_ratio"),
         F.round(
             F.when(F.length(text_col).between(100, 400), F.lit(1.0)).otherwise(0.5)

@@ -52,7 +52,8 @@ def cosine_topk_bruteforce(vecs: DataFrame, k: int, *,
     return (pairs.withColumn("k_rank", F.row_number().over(w))
             .where(F.col("k_rank") <= k)
             .select(F.col("a").alias(id_col), F.col("b").alias("neighbor_id"),
-                    F.round("sim_raw", 6).alias("sim"), "k_rank"))
+                    F.round("sim_raw", 6).alias("sim"),
+                    F.col("k_rank").cast("long").alias("k_rank")))
 
 
 def _srp_bucket_expr(vec_col: str, n_bits: int, dim: int) -> str:
@@ -107,4 +108,5 @@ def cosine_topk_lsh(vecs: DataFrame, k: int, *, id_col: str = "vec_id",
     return (pairs.withColumn("k_rank", F.row_number().over(w))
             .where(F.col("k_rank") <= k)
             .select(F.col("a").alias(id_col), F.col("b").alias("neighbor_id"),
-                    F.round("sim_raw", 6).alias("sim"), "k_rank"))
+                    F.round("sim_raw", 6).alias("sim"),
+                    F.col("k_rank").cast("long").alias("k_rank")))

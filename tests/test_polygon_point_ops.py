@@ -120,3 +120,22 @@ def test_snap_within_distance_and_all(spark):
     assert ga2.coords[1].tolist() == [10.0, 100.0]
     assert all_snapped.snap_distance.iloc[1] == pytest.approx(
         np.hypot(490, 400))
+
+
+def test_eliminate_by_longest(spark):
+    # keeper A shares a 30-unit border with the sliver; keeper B only 10
+    keep = wkt_to_wkb_df(spark.createDataFrame(pd.DataFrame({
+        "gid": [1, 2], "name": ["A", "B"],
+        "geometry_wkt": ["POLYGON ((0 0, 100 0, 100 30, 0 30, 0 0))",
+                         "POLYGON ((100 20, 140 20, 140 30, 100 30, 100 20))"]})))
+    sliver = wkt_to_wkb_df(spark.createDataFrame(pd.DataFrame({
+        "gid": [9], "name": ["s"],
+        "geometry_wkt": ["POLYGON ((100 0, 110 0, 110 30, 100 30, 100 0))"]})))
+    from sgspark.polygon_ops import eliminate_by_longest
+    out = eliminate_by_longest(keep, sliver, id_col="gid").toPandas()
+    assert sorted(out.gid) == [1, 2]
+    a1 = from_wkb(list(out[out.gid == 1].geometry)).area()[0]
+    # sliver (10x30) joins A (shares x=100 border of length 30 > B's 10)
+    assert a1 == pytest.approx(100 * 30 + 10 * 30)
+    a2 = from_wkb(list(out[out.gid == 2].geometry)).area()[0]
+    assert a2 == pytest.approx(400.0)
