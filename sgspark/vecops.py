@@ -56,19 +56,21 @@ def cosine_topk_bruteforce(vecs: DataFrame, k: int, *,
                     F.col("k_rank").cast("long").alias("k_rank")))
 
 
-def _srp_bucket_expr(vec_col: str, n_bits: int, dim: int) -> str:
+def _srp_bucket_expr(vec_col: str, n_bits: int, dim: int,
+                     table: int = 0) -> str:
     """Sign-random-projection bucket id: n_bits deterministic pseudo-random
-    +-1 projections (weights from a fixed LCG over (bit, dim) — same on
-    every executor, no state)."""
+    +-1 projections (weights from a fixed LCG over (table, bit, dim) — same
+    on every executor, no state; each table gets INDEPENDENT projections)."""
     bits = []
-    for b in range(n_bits):
+    for b0 in range(n_bits):
+        b = table * n_bits + b0
         # deterministic +-1 weight for (b, i): parity of an LCG value
         terms = f"aggregate(transform(sequence(0, {dim - 1}), i -> " \
                 f"case when pmod((i + 1) * 2654435761 + {b} * 40503, 97) < 48 " \
                 f"then element_at({vec_col}, i + 1) " \
                 f"else -element_at({vec_col}, i + 1) end), " \
                 f"cast(0.0 as double), (acc, v) -> acc + v)"
-        bits.append(f"(case when ({terms}) >= 0 then {1 << b} else 0 end)")
+        bits.append(f"(case when ({terms}) >= 0 then {1 << b0} else 0 end)")
     return " + ".join(bits)
 
 
@@ -84,7 +86,7 @@ def cosine_topk_lsh(vecs: DataFrame, k: int, *, id_col: str = "vec_id",
     vids = vecs.select(F.col(id_col).alias("a"), F.col(vec_col).alias("__v"))
     tables = []
     for t in range(n_tables):
-        expr = _srp_bucket_expr("__v", n_bits, dim)
+        expr = _srp_bucket_expr("__v", n_bits, dim, table=t)
         tables.append(vids.select(
             "a", F.concat(F.lit(f"{t}:"), F.expr(expr).cast("string"))
             .alias("bucket")))

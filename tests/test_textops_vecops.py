@@ -13,7 +13,7 @@ def docs_flat(spark):
     texts = [
         "the cat sat on the mat and looked at the hat",
         "the cat sat on the mat and looked at the hat",   # exact dup of 0
-        "the cat sat on the mat and gazed at the hat",    # near dup of 0
+        "the cat sat on the mat and looked at the hats",  # near dup of 0
         "el perro y el gato y los dos",
         "der hund und die katze und das haus",
         "completely different words entirely here xyz abc",
@@ -42,9 +42,17 @@ def test_shingles_and_near_dups(docs_flat):
     pairs = near_dup_pairs(docs_flat, threshold=0.5).toPandas()
     pset = {(a, b) for a, b in zip(pairs.a, pairs.b)}
     assert (0, 1) in pset          # exact dup -> jaccard 1.0
-    assert (0, 2) in pset or (2, 0) in pset  # near dup
+    assert (0, 2) in pset          # one-char edit -> high jaccard
     j01 = pairs[(pairs.a == 0) & (pairs.b == 1)].jaccard.iloc[0]
     assert j01 == 1.0
+    # exact-jaccard verification matches a python recompute
+    t0 = "the cat sat on the mat and looked at the hat"
+    t2 = "the cat sat on the mat and looked at the hats"
+    s0 = {t0[i:i + 12] for i in range(len(t0) - 11)}
+    s2 = {t2[i:i + 12] for i in range(len(t2) - 11)}
+    want_j = round(len(s0 & s2) / len(s0 | s2), 6)
+    j02 = pairs[(pairs.a == 0) & (pairs.b == 2)].jaccard.iloc[0]
+    assert j02 == pytest.approx(want_j)
     # no cross-language false positives at 0.5
     assert (3, 4) not in pset
 
@@ -110,11 +118,12 @@ def test_cosine_topk_matches_numpy(spark):
         sub = got[got.vec_id == v].sort_values("k_rank")
         assert list(sub.neighbor_id) == list(top)
         assert np.allclose(sub.sim, np.round(sims[v][top], 6))
-    # LSH recall@3 against brute force (approximate; assert sane recall)
-    lsh = cosine_topk_lsh(df, 3, n_bits=4, n_tables=4).toPandas()
+    # LSH recall@3 against brute force: wide buckets (2 bits) x 8 tables
+    # give high recall even on near-orthogonal random gaussians
+    lsh = cosine_topk_lsh(df, 3, n_bits=2, n_tables=8).toPandas()
     hits = 0
     for v in range(40):
         b = set(got[got.vec_id == v].neighbor_id)
         l = set(lsh[lsh.vec_id == v].neighbor_id)
         hits += len(b & l)
-    assert hits / (40 * 3) > 0.5
+    assert hits / (40 * 3) > 0.6
