@@ -129,6 +129,65 @@ def zonal_stats(polygons: DataFrame, tiles: DataFrame, *,
     return agg.select(*keep)
 
 
+def band_gradient(tiles: DataFrame) -> DataFrame:
+    """Per-tile slope magnitude (reference `Band.gradient`,
+    image_collection.py:1302-1355): central-difference gradient over the
+    tile's grid.  Tile-local (1-pixel halo across tiles is future work —
+    boundary pixels use one-sided differences)."""
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = pdf.copy()
+            grads = []
+            for i in range(len(pdf)):
+                n = int(pdf["nx"].iloc[i])
+                m = int(pdf["ny"].iloc[i])
+                res = float(pdf["res"].iloc[i])
+                v = np.asarray(pdf["values"].iloc[i],
+                               dtype=np.float64).reshape(m, n)
+                gy, gx = np.gradient(v, res)
+                grads.append(np.hypot(gx, gy).ravel().tolist())
+            out["values"] = grads
+            yield out
+
+    schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                       for f in tiles.schema.fields)
+    return tiles.mapInPandas(kernel, schema=schema)
+
+
+def merge_tiles(tiles: DataFrame, by: list[str], how: str = "mean"
+                ) -> DataFrame:
+    """Merge raster tiles that share (by) keys + the same tile_id —
+    reference `ImageCollectionGroupBy.merge/merge_by_band`
+    (image_collection.py:271-390): element-wise mean/median/max across
+    images of the same tile."""
+    group = by + ["tile_id", "x0", "y0", "res", "nx", "ny"]
+    schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in tiles.schema.fields if f.name in group) + \
+        ", values array<double>"
+
+    def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        arrs = np.stack([np.asarray(v, dtype=np.float64)
+                         for v in pdf["values"]])
+        if how == "mean":
+            v = arrs.mean(axis=0)
+        elif how == "median":
+            v = np.median(arrs, axis=0)
+        elif how == "max":
+            v = arrs.max(axis=0)
+        elif how == "min":
+            v = arrs.min(axis=0)
+        else:
+            raise ValueError(how)
+        row = {c: [k] for c, k in zip(group, key)}
+        row["values"] = [v.tolist()]
+        return pd.DataFrame(row)
+
+    return tiles.groupBy(*group).applyInPandas(merge, schema=schema)
+
+
 def raster_to_points(tiles: DataFrame) -> DataFrame:
     """`Band.to_geopandas` analogue: one row per pixel (x, y, value)."""
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
