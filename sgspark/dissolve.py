@@ -113,6 +113,24 @@ def diss(df: DataFrame, by: list[str] | None = None, *,
         for f in work.schema.fields if f.name in key_cols)
     out_schema = key_schema + ", geometry binary"
 
+    # TWO-PHASE union: partial per-partition unions first (map-side
+    # combine for geometry — the reference's chunk-parallel UnionRunner,
+    # runners.py:50-120, re-expressed), then the final per-group union
+    # over far fewer, pre-merged parts.  Bounds the largest single union.
+    def partial(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for key, sub in pdf.groupby(key_cols, dropna=False, sort=False):
+                key = key if isinstance(key, tuple) else (key,)
+                blobs = sub[geometry].tolist()
+                wkb = blobs[0] if len(blobs) == 1 else _union_group_wkb(blobs)
+                rows.append((*key, wkb))
+            yield pd.DataFrame(rows, columns=key_cols + ["geometry"])
+
+    pre = geo_in.mapInPandas(partial, schema=out_schema)
+
     def union_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
         blobs = pdf[geometry].tolist()
         wkb = blobs[0] if len(blobs) == 1 else _union_group_wkb(blobs)
@@ -120,7 +138,7 @@ def diss(df: DataFrame, by: list[str] | None = None, *,
         row["geometry"] = [wkb]
         return pd.DataFrame(row)
 
-    geo = geo_in.groupBy(*key_cols).applyInPandas(union_group, schema=out_schema)
+    geo = pre.groupBy(*key_cols).applyInPandas(union_group, schema=out_schema)
     out = geo.join(attrs, key_cols, "inner") if aggs else geo
     if not by:
         out = out.drop("__all")
