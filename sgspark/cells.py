@@ -35,7 +35,12 @@ def cell_xy(x: np.ndarray, y: np.ndarray, gridsize: float) -> tuple[np.ndarray, 
 
 
 def key_from_cxcy(cx: np.ndarray, cy: np.ndarray) -> np.ndarray:
-    return (cx.astype(np.int64) << Y_BITS) | cy.astype(np.int64)
+    # Arithmetic (NOT bitwise-or) so numpy keys equal the Spark-SQL twin
+    # expressions `cx * 2^25 + cy` exactly — including for negative cy
+    # (southern-hemisphere / local CRS data).  cx*M+cy is a bijection
+    # Z^2 -> Z under floor semantics, and neighbor offsets compose as plain
+    # key arithmetic: key(cx+dx, cy+dy) = key + dx*M + dy.
+    return cx.astype(np.int64) * np.int64(1 << Y_BITS) + cy.astype(np.int64)
 
 
 def point_cell_key(x: np.ndarray, y: np.ndarray, gridsize: float) -> np.ndarray:
@@ -102,10 +107,7 @@ def neighbor_keys(key: np.ndarray, ring: int = 1) -> np.ndarray:
     """All cell keys within Chebyshev distance `ring` of each key.
     Returns int64[n, (2r+1)^2]."""
     key = np.asarray(key, dtype=np.int64)
-    cx = key >> Y_BITS
-    cy = key & ((1 << Y_BITS) - 1)
     d = np.arange(-ring, ring + 1, dtype=np.int64)
     dx, dy = np.meshgrid(d, d, indexing="ij")
-    nx = cx[:, None] + dx.ravel()[None, :]
-    ny = cy[:, None] + dy.ravel()[None, :]
-    return (nx << Y_BITS) | ny
+    off = dx.ravel() * np.int64(1 << Y_BITS) + dy.ravel()
+    return key[:, None] + off[None, :]

@@ -5,10 +5,13 @@ Reference: `get_cluster_mapper` / `get_polygon_clusters`
 networkx connected components over rtree-intersection pairs.
 
 Spark mapping (SURVEY.md §2.7, §7 M6): edges from a self spatial join;
-components via iterative min-label propagation (driver-coordinated fixpoint
-loop, the standard Spark CC pattern).  Converges in O(log n) rounds for
-realistic overlap graphs; each round is one shuffle; lineage cut with
-localCheckpoint so plans don't grow unboundedly.
+components via min-label propagation WITH POINTER JUMPING (each round also
+shortcuts label(v) <- label(label(v))), the classic O(log diameter)
+accelerated CC — plain propagation needs diameter-many rounds, which a long
+polygon chain at 100x scale turns into hundreds of shuffles.  The loop is a
+driver-coordinated fixpoint; lineage is cut with localCheckpoint so plans
+don't grow unboundedly; exhaustion of max_iter RAISES instead of silently
+splitting components.
 """
 
 from __future__ import annotations
@@ -38,13 +41,26 @@ def connected_components(edges: DataFrame, vertices: DataFrame, *,
                       .select("a", F.least(F.col("label"),
                                            F.coalesce("nbr_label", "label")
                                            ).alias("label")))
+        # pointer jumping: label(v) <- label(label(v)).  Labels only
+        # decrease, so this halves the remaining pointer-chain length each
+        # round -> O(log diameter) rounds overall instead of O(diameter).
+        lab2 = new_labels.select(F.col("a").alias("__p"),
+                                 F.col("label").alias("__plabel"))
+        new_labels = (new_labels
+                      .join(lab2, new_labels["label"] == lab2["__p"], "left")
+                      .select("a", F.least(F.col("label"),
+                                           F.coalesce("__plabel", "label")
+                                           ).alias("label")))
         new_labels = new_labels.localCheckpoint()
         changed = (new_labels.alias("n").join(labels.alias("o"), "a")
                    .where(F.col("n.label") != F.col("o.label")).count())
         labels = new_labels
         if changed == 0:
-            break
-    return labels.select(F.col("a").alias(id_col), F.col("label").alias("cluster"))
+            return labels.select(F.col("a").alias(id_col),
+                                 F.col("label").alias("cluster"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds; "
+        "the component graph is deeper than expected — raise max_iter")
 
 
 def get_cluster_mapper(df: DataFrame, *, id_col: str,

@@ -96,18 +96,67 @@ def convex_ring_buffer(ring: np.ndarray, dist: float, quad_segs: int = 8) -> np.
     return np.asarray(out)
 
 
+def convex_ring_erode(ring: np.ndarray, dist: float) -> np.ndarray | None:
+    """NEGATIVE buffer (erosion) of one convex CCW ring — exact: the erosion
+    of a convex polygon is the intersection of its edges' inward-offset
+    half-planes.  Implemented as successive half-plane clips.  Returns a
+    closed ring or None if the erosion is empty (polygon thinner than
+    2*dist)."""
+    r = ring[:-1]
+    nxt = np.roll(r, -1, axis=0)
+    e = nxt - r
+    ln = np.hypot(e[:, 0], e[:, 1])
+    keep = ln > 0
+    r, nxt, e, ln = r[keep], nxt[keep], e[keep], ln[keep]
+    # inward normal for CCW ring = (-dy, dx)/len
+    nrm = np.stack([-e[:, 1] / ln, e[:, 0] / ln], axis=1)
+    poly = ring[:-1].copy()
+    for i in range(len(r)):
+        a = r[i] + dist * nrm[i]
+        d = e[i]
+        # keep points on the left of the offset edge (inside half-plane)
+        out = []
+        n = len(poly)
+        if n == 0:
+            return None
+        side = d[0] * (poly[:, 1] - a[1]) - d[1] * (poly[:, 0] - a[0])
+        for j in range(n):
+            k = (j + 1) % n
+            cur_in, nxt_in = side[j] >= 0, side[k] >= 0
+            if cur_in:
+                out.append(poly[j])
+            if cur_in != nxt_in:
+                denom = side[j] - side[k]
+                t = side[j] / denom if denom != 0 else 0.0
+                out.append(poly[j] + t * (poly[k] - poly[j]))
+        poly = np.asarray(out) if out else np.zeros((0, 2))
+    if len(poly) < 3:
+        return None
+    x, y = poly[:, 0], poly[:, 1]
+    if abs(float((x * np.roll(y, -1) - np.roll(x, -1) * y).sum())) == 0.0:
+        return None
+    return np.vstack([poly, poly[:1]])
+
+
 def buffer(ga: GeomArray, dist, quad_segs: int = 30) -> GeomArray:
-    """Buffer a GeomArray. Points: exact n-gon. Convex polygons: offset+arc.
-    Others: NotImplementedError (distance joins don't need geometry buffers)."""
+    """Buffer a GeomArray. Points: exact n-gon. Convex hole-free polygons:
+    offset+arc (positive dist) or exact half-plane erosion (negative dist —
+    geometries whose erosion is empty are dropped to empty polygons).
+    Others: NotImplementedError (distance joins don't need geometry buffers;
+    polygons WITH HOLES raise rather than silently dropping the holes)."""
     dist = np.broadcast_to(np.asarray(dist, dtype=np.float64), (len(ga),))
     kinds = ga.kinds
     counts = ga.coords_count_per_geom()
-    if bool((counts == 1).all()):
+    if bool((counts == 1).all()) and bool((dist >= 0).all()):
         starts = ga.coords_start_per_geom()
         return point_buffer(ga.coords[starts], dist, quad_segs)
     ring_lists, out_kinds = [], []
     for g in range(len(ga)):
         if counts[g] == 1:
+            if dist[g] < 0:
+                ring_lists.append([])
+                out_kinds.append(POLYGON)
+                continue
             s = ga.coords_start_per_geom()[g]
             pb = point_buffer(ga.coords[s:s + 1], dist[g:g + 1], quad_segs)
             ring_lists.append([[pb.coords]])
@@ -118,6 +167,10 @@ def buffer(ga: GeomArray, dist, quad_segs: int = 30) -> GeomArray:
                 "buffer of non-point, non-convex-polygon geometries is not "
                 "supported without GEOS; use distance-based joins instead")
         rings = ga.rings_of_geom(g)
+        if len(rings) > 1:
+            raise NotImplementedError(
+                "buffer of polygons with interior rings is not supported; "
+                "close holes first (close_all_holes) or use distance joins")
         ext = rings[0]
         # normalize to CCW
         x, y = ext[:-1, 0], ext[:-1, 1]
@@ -126,6 +179,12 @@ def buffer(ga: GeomArray, dist, quad_segs: int = 30) -> GeomArray:
             ext = ext[::-1]
         if not _is_convex_ccw(ext):
             raise NotImplementedError("concave polygon buffer not supported")
-        ring_lists.append([[convex_ring_buffer(ext, float(dist[g]), quad_segs)]])
-        out_kinds.append(POLYGON)
+        if dist[g] < 0:
+            er = convex_ring_erode(ext, -float(dist[g]))
+            ring_lists.append([[er]] if er is not None else [])
+            out_kinds.append(POLYGON)
+        else:
+            ring_lists.append(
+                [[convex_ring_buffer(ext, float(dist[g]), quad_segs)]])
+            out_kinds.append(POLYGON)
     return from_rings(ring_lists, out_kinds)

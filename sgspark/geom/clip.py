@@ -371,18 +371,21 @@ def polygon_boolean(parts_a: list[list[np.ndarray]],
     if op == "difference":
         cur = [list(p) for p in parts_a]
         for pb in parts_b:
+            prev = cur  # residual BEFORE erasing this part of B
             nxt: list[list[np.ndarray]] = []
-            for pa in cur:
+            for pa in prev:
                 rs = ring_boolean(pa[0], pb[0], "difference")
                 ps = rings_to_polygons(rs)
                 for p in ps:
                     p.extend(pa[1:])  # retain original holes
                 nxt.extend(ps)
-            # holes of B inside A re-add that region? (A − (B \ holeB)) adds back
+            # A − (extB \ holesB) = (A − extB) ∪ (A ∩ holeB): each hole of B
+            # re-adds its region FROM THE CURRENT RESIDUAL (every part of it,
+            # holes respected) — not from the original A, which would
+            # resurrect regions already erased by earlier parts of B.
             for hb in pb[1:]:
-                add = ring_boolean(hb[::-1], parts_a[0][0], "intersection")
-                for r in add:
-                    nxt.append([r])
+                nxt.extend(polygon_boolean(
+                    prev, [[ensure_ccw(hb[::-1])]], "intersection"))
             cur = nxt
         return cur
     if op == "union":

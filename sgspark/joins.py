@@ -142,7 +142,7 @@ def sjoin_pairs(left: DataFrame, right: DataFrame, predicate: str = "intersects"
             ay = np.maximum(pdf["__lminy"].to_numpy(), pdf["__rminy"].to_numpy())
             acx = np.floor((ax + FALSE_EASTING) / g).astype(np.int64)
             acy = np.floor(ay / g).astype(np.int64)
-            anchor = (acx << Y_BITS) | acy
+            anchor = acx * np.int64(1 << Y_BITS) + acy
             keep = anchor == pdf["cell_key"].to_numpy()
             pdf = pdf.loc[keep]
             if len(pdf) == 0:
@@ -256,9 +256,9 @@ def _sjoin_pairs_broadcast(left: DataFrame, right: DataFrame, predicate: str,
                 continue
             ax = np.maximum(pdf["__lminx"].to_numpy(), pdf["__rminx"].to_numpy())
             ay = np.maximum(pdf["__lminy"].to_numpy(), pdf["__rminy"].to_numpy())
-            anchor = ((np.floor((ax + FALSE_EASTING) / g).astype(np.int64)
-                       << Y_BITS) |
-                      np.floor(ay / g).astype(np.int64))
+            anchor = (np.floor((ax + FALSE_EASTING) / g).astype(np.int64)
+                      * np.int64(1 << Y_BITS)
+                      + np.floor(ay / g).astype(np.int64))
             pdf = pdf.loc[anchor == pdf["cell_key"].to_numpy()]
             if len(pdf) == 0:
                 continue

@@ -24,7 +24,6 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from .cells import FALSE_EASTING, Y_BITS
 from .geom.predicates import points_in_polygon_geom
 from .geom.wkb import from_wkb
-from .tiling import cell_key_expr
 
 
 def synth_raster_tiles(spark: SparkSession, minx: float, miny: float,
@@ -81,10 +80,29 @@ def zonal_stats(polygons: DataFrame, tiles: DataFrame, *,
             f"cast(floor(maxy / {g}) as bigint))")))
          .withColumn("cell_key", F.expr(f"__cx * {1 << Y_BITS} + __cy"))
          .drop("__cx", "__cy"))
-    t = tiles.withColumn(
-        "cell_key",
-        F.expr(cell_key_expr(f"x0 + {g / 2}", f"y0 + {g / 2}", g)))
-    cand = p.join(t, "cell_key")
+    # tiles explode to ALL cells of their extent (x0..x0+nx*res, y0..y0+ny*res)
+    # — keying by the centre cell alone silently loses pixels whenever a tile
+    # is not aligned to / sized like the zonal grid.  A (polygon, tile) pair
+    # can then meet in several cells, so dedup with the anchor-cell rule
+    # (keep only the cell containing the lower-left corner of the bbox
+    # intersection) — pure JVM, no extra shuffle.
+    t = (tiles
+         .withColumn("__tx1", F.expr("x0 + nx * res"))
+         .withColumn("__ty1", F.expr("y0 + ny * res"))
+         .withColumn("__tcx", F.explode(F.expr(
+            f"sequence(cast(floor((x0 + {FALSE_EASTING}) / {g}) as bigint), "
+            f"cast(floor((__tx1 + {FALSE_EASTING}) / {g}) as bigint))")))
+         .withColumn("__tcy", F.explode(F.expr(
+            f"sequence(cast(floor(y0 / {g}) as bigint), "
+            f"cast(floor(__ty1 / {g}) as bigint))")))
+         .withColumn("cell_key", F.expr(f"__tcx * {1 << Y_BITS} + __tcy"))
+         .drop("__tcx", "__tcy"))
+    cand = (p.join(t, "cell_key")
+            .where(F.expr(
+                f"cell_key = cast(floor((greatest(minx, x0) + {FALSE_EASTING})"
+                f" / {g}) as bigint) * {1 << Y_BITS}"
+                f" + cast(floor(greatest(miny, y0) / {g}) as bigint)"))
+            .drop("__tx1", "__ty1"))
 
     id_t = [f.dataType.simpleString() for f in polygons.schema.fields
             if f.name == id_col][0]
