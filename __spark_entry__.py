@@ -148,6 +148,81 @@ def q_overlay_intersection(spark, sf_dir):
                              schema="aid long, bid long, area double")
 
 
+# Concave-overlay oracle layers: L-shaped (6-vertex, concave) polygons.
+# Layer A (customer): ALL-EVEN integer coords; layer B (supplier): ALL-ODD.
+# => no shared edge lines, no vertex-on-edge, every boundary crossing is a
+# proper interior crossing at exact rational coords — the general
+# (Greiner–Hormann) kernel path runs with NO degeneracy ladder, and plain
+# SQL computes exact areas by rectangle decomposition (each L = two
+# interior-disjoint rects; B's L-shapes are pairwise disjoint by grid
+# construction).  This is the independent non-rectangle oracle VERDICT.md
+# round 1 asked for.
+def _lshape_layer_sql(key: str, x0: str, y0: str, s: str, aa: str, bb: str):
+    """WKT of L-shape: [x0,x0+s]x[y0,y0+bb]  ∪  [x0,x0+aa]x[y0+bb,y0+s]."""
+    def i(e):
+        return f"cast({e} as bigint)"
+    return (f"concat('POLYGON ((', {i(x0)}, ' ', {i(y0)}, ', ', "
+            f"{i(f'{x0}+{s}')}, ' ', {i(y0)}, ', ', "
+            f"{i(f'{x0}+{s}')}, ' ', {i(f'{y0}+{bb}')}, ', ', "
+            f"{i(f'{x0}+{aa}')}, ' ', {i(f'{y0}+{bb}')}, ', ', "
+            f"{i(f'{x0}+{aa}')}, ' ', {i(f'{y0}+{s}')}, ', ', "
+            f"{i(x0)}, ' ', {i(f'{y0}+{s}')}, ', ', "
+            f"{i(x0)}, ' ', {i(y0)}, '))')")
+
+
+_LA = dict(x0="(c_custkey % 40) * 100", y0="(c_custkey div 40) * 100",
+           s="80 + (c_custkey % 5) * 4", aa="40 + (c_custkey % 3) * 8",
+           bb="32 + (c_custkey % 7) * 6")
+_LB = dict(x0="(s_suppkey % 10) * 390 + 15", y0="(s_suppkey div 10) * 370 + 21",
+           s="200 + (s_suppkey % 4) * 30", aa="100 + (s_suppkey % 3) * 20",
+           bb="80 + (s_suppkey % 5) * 24")
+
+
+def _lshape_layers(spark, sf_dir):
+    from sgspark.io import wkt_to_wkb_df
+    a = spark.read.parquet(f"{sf_dir}/customer.parquet").selectExpr(
+        "c_custkey AS aid",
+        _lshape_layer_sql("c_custkey", **_LA) + " AS geometry_wkt")
+    b = spark.read.parquet(f"{sf_dir}/supplier.parquet").selectExpr(
+        "s_suppkey AS bid",
+        _lshape_layer_sql("s_suppkey", **_LB) + " AS geometry_wkt")
+    return wkt_to_wkb_df(a), wkt_to_wkb_df(b)
+
+
+def _area_rows(df, ids):
+    def area_kernel(batches):
+        from sgspark.geom.wkb import from_wkb
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ga = from_wkb(pdf["geometry"].tolist())
+            out = pdf[ids].copy()
+            out["area"] = ga.area().round(6)
+            yield out
+
+    schema = ", ".join(f"{c} long" for c in ids) + ", area double"
+    return df.mapInPandas(area_kernel, schema=schema)
+
+
+def q_overlay_concave(spark, sf_dir):
+    """Concave x concave intersection areas through the REAL engine path
+    (wkt parse -> cell join -> Greiner–Hormann kernel)."""
+    from sgspark.overlay import clean_overlay
+    a, b = _lshape_layers(spark, sf_dir)
+    inter = clean_overlay(a, b, "intersection", id1="aid", id2="bid",
+                          gridsize=500.0)
+    return _area_rows(inter.select("aid", "bid", "geometry"), ["aid", "bid"])
+
+
+def q_overlay_concave_diff(spark, sf_dir):
+    """Concave difference (A minus union of its concave partners)."""
+    from sgspark.overlay import clean_overlay
+    a, b = _lshape_layers(spark, sf_dir)
+    diff = clean_overlay(a, b, "difference", id1="aid", id2="bid",
+                         gridsize=500.0)
+    return _area_rows(diff.select("aid", "geometry"), ["aid"])
+
+
 def q_gridloop_tile_counts(spark, sf_dir):
     import pandas as pd
     from sgspark.tiling import gridloop, grid_id_expr
@@ -297,6 +372,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sfilter": q_sfilter,
         "sfilter_inverse": q_sfilter_inverse,
         "overlay_intersection": q_overlay_intersection,
+        "overlay_concave": q_overlay_concave,
+        "overlay_concave_diff": q_overlay_concave_diff,
         "gridloop_tile_counts": q_gridloop_tile_counts,
         "zone_clusters": q_zone_clusters,
         "zone_dissolve": q_zone_dissolve,
@@ -331,6 +408,52 @@ def _overlay_oracle() -> str:
             f"FROM customer a, customer b "
             f"WHERE a.c_custkey % 2 = 0 AND b.c_custkey % 2 = 1 "
             f"AND {ox} > 0 AND {oy} > 0")
+
+
+def _concave_oracle(how: str) -> str:
+    """Exact SQL oracle for the L-shape layers: each L decomposes into two
+    interior-disjoint rects, so area(LA ∩ LB) = Σ rect-pair interval
+    products; B's L-shapes are pairwise disjoint (grid pitch > max extent),
+    so the difference residual is area(LA) − Σ_b area(LA ∩ LB)."""
+    la = {k: v.replace("div", "//") for k, v in _LA.items()}
+    lb = {k: v.replace("div", "//") for k, v in _LB.items()}
+    base = f"""
+      WITH a AS (
+        SELECT c_custkey AS aid, {la['x0']} AS x0, {la['y0']} AS y0,
+               {la['s']} AS s, {la['aa']} AS aa, {la['bb']} AS bb
+        FROM customer),
+      b AS (
+        SELECT s_suppkey AS bid, {lb['x0']} AS x0, {lb['y0']} AS y0,
+               {lb['s']} AS s, {lb['aa']} AS aa, {lb['bb']} AS bb
+        FROM supplier),
+      ar AS (
+        SELECT aid, x0 AS rx0, y0 AS ry0, x0 + s AS rx1, y0 + bb AS ry1 FROM a
+        UNION ALL
+        SELECT aid, x0, y0 + bb, x0 + aa, y0 + s FROM a),
+      br AS (
+        SELECT bid, x0 AS rx0, y0 AS ry0, x0 + s AS rx1, y0 + bb AS ry1 FROM b
+        UNION ALL
+        SELECT bid, x0, y0 + bb, x0 + aa, y0 + s FROM b),
+      pair_area AS (
+        SELECT ar.aid, br.bid, sum(
+          greatest(least(ar.rx1, br.rx1) - greatest(ar.rx0, br.rx0), 0) *
+          greatest(least(ar.ry1, br.ry1) - greatest(ar.ry0, br.ry0), 0)
+        ) AS ia
+        FROM ar, br GROUP BY ar.aid, br.bid)
+    """
+    if how == "intersection":
+        return base + """
+      SELECT aid, bid, round(CAST(ia AS DOUBLE), 6) AS area
+      FROM pair_area WHERE ia > 0"""
+    return base + """
+      , asize AS (
+        SELECT aid, s * bb + aa * (s - bb) AS full_area FROM a),
+      erased AS (
+        SELECT aid, sum(ia) AS e FROM pair_area GROUP BY aid)
+      SELECT s.aid, round(CAST(s.full_area - coalesce(e.e, 0) AS DOUBLE), 6)
+             AS area
+      FROM asize s LEFT JOIN erased e ON e.aid = s.aid
+      WHERE s.full_area - coalesce(e.e, 0) > 0"""
 
 
 # ------------------------------------------------------------------------ #
@@ -377,6 +500,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM customer c
                               WHERE c.c_custkey % 7 = 0 AND {zone_pred})""",
         "overlay_intersection": _overlay_oracle(),
+        "overlay_concave": _concave_oracle("intersection"),
+        "overlay_concave_diff": _concave_oracle("difference"),
         "gridloop_tile_counts": f"""
             SELECT {tile} AS tile_id, count(*) AS n_points
             FROM documents GROUP BY 1""",

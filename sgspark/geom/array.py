@@ -73,6 +73,35 @@ class GeomArray:
                 out.append(self.coords[self.ring_offsets[r]:self.ring_offsets[r + 1]])
         return out
 
+    def simple_polygon_flags(self) -> np.ndarray:
+        """bool[n]: POLYGON with exactly one part and one ring (no holes) —
+        eligible for the batched padded-ring kernels.  Vectorized."""
+        n_parts = np.diff(self.geom_offsets)
+        first_part = np.minimum(self.geom_offsets[:-1],
+                                len(self.part_offsets) - 2)
+        n_rings = (self.part_offsets[first_part + 1]
+                   - self.part_offsets[first_part])
+        return (self.kinds == POLYGON) & (n_parts == 1) & (n_rings == 1)
+
+    def padded_first_rings(self, idx: np.ndarray
+                           ) -> tuple[np.ndarray, np.ndarray]:
+        """(P (k, L, 2), counts (k,)) of the OPEN first rings of geometries
+        `idx` (closing duplicate stripped) — vectorized gather for the
+        batched clip kernels."""
+        idx = np.asarray(idx, dtype=np.int64)
+        first_part = self.geom_offsets[idx]
+        first_ring = self.part_offsets[first_part]
+        s = self.ring_offsets[first_ring]
+        ln = self.ring_offsets[first_ring + 1] - s
+        cnt = np.maximum(ln - 1, 0)  # drop closing vertex
+        L = max(int(cnt.max()) if len(cnt) else 0, 1)
+        j = np.arange(L)
+        valid = j[None, :] < cnt[:, None]
+        gather = np.where(valid, s[:, None] + j[None, :], s[:, None])
+        P = self.coords[gather]
+        P[~valid] = 0.0
+        return P, cnt
+
     def take(self, idx: np.ndarray) -> "GeomArray":
         """Gather a subset (used by kernels to align pair tables)."""
         idx = np.asarray(idx, dtype=np.int64)

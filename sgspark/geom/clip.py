@@ -442,3 +442,84 @@ def _subtract_holes(polys, holes):
 def _bbox_overlap(ra, rb) -> bool:
     return not (ra[:, 0].max() < rb[:, 0].min() or rb[:, 0].max() < ra[:, 0].min()
                 or ra[:, 1].max() < rb[:, 1].min() or rb[:, 1].max() < ra[:, 1].min())
+
+
+# ---------------------------------------------------------------------- #
+# BATCHED Sutherland–Hodgman: clip n rings by n axis-aligned rectangles in
+# one numpy pass per half-plane — the vectorized twin of clip_ring_convex
+# for the dominant poly×rect overlay case (zones / grid cells are rects).
+# No per-pair Python: the whole batch advances through 4 half-plane passes
+# on padded (n, L, 2) arrays.
+# ---------------------------------------------------------------------- #
+def pad_rings(rings: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray]:
+    """Pack a list of OPEN rings (no closing duplicate) into a padded
+    (n, L, 2) array + counts."""
+    n = len(rings)
+    C = np.array([len(r) for r in rings], dtype=np.int64)
+    L = int(C.max()) if n else 0
+    P = np.zeros((n, max(L, 1), 2), dtype=np.float64)
+    for i, r in enumerate(rings):  # assembly only; math below is batched
+        P[i, :len(r)] = r
+    return P, C
+
+
+def _clip_pass_axis(P: np.ndarray, C: np.ndarray, axis: int,
+                    bound: np.ndarray, keep_ge: bool
+                    ) -> tuple[np.ndarray, np.ndarray]:
+    """One half-plane pass over the whole batch (keep coord >= / <= bound)."""
+    n, L, _ = P.shape
+    j = np.arange(L)
+    valid = j[None, :] < C[:, None]
+    coord = P[:, :, axis]
+    inside = (coord >= bound[:, None]) if keep_ge else (coord <= bound[:, None])
+    inside &= valid
+    nxt_idx = np.where(j[None, :] + 1 >= C[:, None], 0, j[None, :] + 1)
+    Pn = np.take_along_axis(P, nxt_idx[:, :, None], axis=1)
+    coord_n = np.take_along_axis(coord, nxt_idx, axis=1)
+    inside_n = ((coord_n >= bound[:, None]) if keep_ge
+                else (coord_n <= bound[:, None]))
+    cross = (inside != (inside_n & valid)) & valid
+    # an edge from outside to inside (or v.v.) emits a crossing point; a
+    # vertex exactly ON the bound counts as inside on both sides -> no dup
+    emit = inside.astype(np.int64) + cross.astype(np.int64)
+    pos_end = np.cumsum(emit, axis=1)
+    pos_start = pos_end - emit
+    newC = np.where(C > 0, pos_end[np.arange(n), np.maximum(C - 1, 0)], 0)
+    Lout = max(int(newC.max()) if n else 0, 1)
+    out = np.zeros((n, Lout, 2), dtype=np.float64)
+    rows, cols = np.nonzero(inside)
+    out[rows, pos_start[rows, cols]] = P[rows, cols]
+    denom = coord_n - coord
+    safe = np.where(denom == 0, 1.0, denom)
+    t = (bound[:, None] - coord) / safe
+    Q = P + t[:, :, None] * (Pn - P)
+    Q[:, :, axis] = np.broadcast_to(bound[:, None], (n, L))  # exact on bound
+    rows2, cols2 = np.nonzero(cross)
+    out[rows2, (pos_start + inside)[rows2, cols2]] = Q[rows2, cols2]
+    return out, newC
+
+
+def clip_rings_by_rects_batch(P: np.ndarray, C: np.ndarray,
+                              rects: np.ndarray
+                              ) -> tuple[np.ndarray, np.ndarray]:
+    """Clip n padded open rings by n rectangles (x0, y0, x1, y1).
+    Returns padded open result rings + counts (0/1/2 => empty).  Same
+    semantics as clip_ring_convex with a rectangle clipper, including the
+    zero-width-bridge artifacts SH produces on split concave subjects
+    (areas are exact; downstream consumers use areas / containment)."""
+    P, C = _clip_pass_axis(P, C, 0, rects[:, 0], True)   # x >= x0
+    P, C = _clip_pass_axis(P, C, 0, rects[:, 2], False)  # x <= x1
+    P, C = _clip_pass_axis(P, C, 1, rects[:, 1], True)   # y >= y0
+    P, C = _clip_pass_axis(P, C, 1, rects[:, 3], False)  # y <= y1
+    return P, C
+
+
+def padded_ring_areas(P: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """Signed shoelace areas of padded open rings, batched."""
+    n, L, _ = P.shape
+    j = np.arange(L)
+    valid = j[None, :] < C[:, None]
+    nxt_idx = np.where(j[None, :] + 1 >= C[:, None], 0, j[None, :] + 1)
+    Pn = np.take_along_axis(P, nxt_idx[:, :, None], axis=1)
+    cr = P[:, :, 0] * Pn[:, :, 1] - Pn[:, :, 0] * P[:, :, 1]
+    return np.where(valid, cr, 0.0).sum(axis=1) / 2.0

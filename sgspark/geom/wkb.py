@@ -107,6 +107,46 @@ def rect_polygon_wkb(x0: np.ndarray, y0: np.ndarray,
     return [raw[i * 93:(i + 1) * 93] for i in range(n)]
 
 
+def single_ring_polygons_wkb(P: np.ndarray, C: np.ndarray) -> list[bytes]:
+    """Vectorized WKB writer for n single-ring polygons given as PADDED OPEN
+    rings (n, L, 2) + counts — the output path of the batched poly×rect
+    clip.  All byte assembly is numpy scatter; the only per-row work is the
+    final buffer slicing."""
+    n = len(C)
+    C = np.asarray(C, dtype=np.int64)
+    m = C + 1  # closing vertex
+    sizes = 13 + m * 16
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(sizes, out=offs[1:])
+    buf = np.zeros(int(offs[-1]), dtype=np.uint8)
+    h = offs[:-1]
+    buf[h] = 1          # little endian
+    buf[h + 1] = 3      # POLYGON
+    buf[h + 5] = 1      # 1 ring
+    mp = m.astype("<u4").view(np.uint8).reshape(n, 4)
+    for b in range(4):
+        buf[h + 9 + b] = mp[:, b]
+    # closed ring coords, flattened
+    L = P.shape[1]
+    j = np.arange(L)
+    valid = j[None, :] < C[:, None]
+    ring_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(m, out=ring_off[1:])
+    total_pts = int(ring_off[-1])
+    pts = np.empty((total_pts, 2), dtype="<f8")
+    flat_pos = ring_off[:-1][:, None] + j[None, :]
+    pts[flat_pos[valid]] = P[valid]
+    pts[ring_off[1:] - 1] = P[:, 0]
+    raw = pts.view(np.uint8).reshape(total_pts, 16)
+    pt_geom = np.repeat(np.arange(n), m)
+    pt_in_geom = np.arange(total_pts) - ring_off[:-1][pt_geom]
+    byte_start = h[pt_geom] + 13 + pt_in_geom * 16
+    idx = byte_start[:, None] + np.arange(16)[None, :]
+    buf[idx.ravel()] = raw.ravel()
+    rawb = buf.tobytes()
+    return [rawb[offs[i]:offs[i + 1]] for i in range(n)]
+
+
 # ---------------------------------------------------------------------- #
 # WKB decode
 # ---------------------------------------------------------------------- #

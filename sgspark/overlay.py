@@ -32,10 +32,12 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-from .geom.clip import polygon_boolean, ring_area
+from .geom.clip import (clip_rings_by_rects_batch, padded_ring_areas,
+                        polygon_boolean, ring_area)
 from .geom.array import MULTIPOLYGON, POLYGON, GeomArray, from_rings
-from .geom.wkb import from_wkb, to_wkb
-from .joins import sjoin_pairs
+from .geom.wkb import from_wkb, single_ring_polygons_wkb, to_wkb
+from .joins import _cover_cells, sjoin_pairs
+from .cells import FALSE_EASTING, Y_BITS
 
 HOWS = ("intersection", "union", "identity", "symmetric_difference",
         "difference", "update")
@@ -75,56 +77,156 @@ def _pairs_with_geoms(df1, df2, id1, id2, gridsize):
     return pairs.join(g1, id1).join(g2, rid), rid
 
 
+def _intersect_batch(pdf: pd.DataFrame, id1: str, rid: str,
+                     g1col: str = "__g1", g2col: str = "__g2"
+                     ) -> pd.DataFrame | None:
+    """Tiered pairwise intersection of one Arrow batch:
+
+      tier 1  rect × rect          -> vectorized interval arithmetic
+      tier 2  simple poly × rect   -> BATCHED Sutherland–Hodgman (no
+              per-pair Python; padded-ring passes over the whole tier)
+      tier 3  general              -> polygon_boolean per UNIQUE geometry
+              pair (duplicate value-pairs computed once)
+
+    Each unique WKB decodes exactly once per side (factorize)."""
+    from .geom.wkb import rect_polygon_wkb
+    lcodes, lu = pd.factorize(pdf[g1col], use_na_sentinel=False)
+    rcodes, ru = pd.factorize(pdf[g2col], use_na_sentinel=False)
+    la = from_wkb(list(lu))
+    ra = from_wkb(list(ru))
+    li = np.asarray(lcodes, dtype=np.int64)
+    ri = np.asarray(rcodes, dtype=np.int64)
+
+    lrect_u, lb_u = _is_rect(la)
+    rrect_u, rb_u = _is_rect(ra)
+    lsimple_u = la.simple_polygon_flags()
+    rsimple_u = ra.simple_polygon_flags()
+    lrect, rrect = lrect_u[li], rrect_u[ri]
+
+    tier1 = lrect & rrect
+    tier2_l = ~lrect & lsimple_u[li] & rrect    # clip left poly by right rect
+    tier2_r = ~rrect & rsimple_u[ri] & lrect    # clip right poly by left rect
+    tier3 = ~(tier1 | tier2_l | tier2_r)
+
+    frames = []
+    if tier1.any():
+        i = np.nonzero(tier1)[0]
+        bx0 = np.maximum(lb_u[li[i], 0], rb_u[ri[i], 0])
+        by0 = np.maximum(lb_u[li[i], 1], rb_u[ri[i], 1])
+        bx1 = np.minimum(lb_u[li[i], 2], rb_u[ri[i], 2])
+        by1 = np.minimum(lb_u[li[i], 3], rb_u[ri[i], 3])
+        ok = (bx1 > bx0) & (by1 > by0)
+        j = i[ok]
+        if len(j):
+            frames.append(pd.DataFrame({
+                id1: pdf[id1].to_numpy()[j],
+                rid: pdf[rid].to_numpy()[j],
+                "geometry": rect_polygon_wkb(bx0[ok], by0[ok],
+                                             bx1[ok], by1[ok])}))
+    for mask, subj_arr, subj_idx, rect_b, rect_idx in (
+            (tier2_l, la, li, rb_u, ri), (tier2_r, ra, ri, lb_u, li)):
+        if not mask.any():
+            continue
+        i = np.nonzero(mask)[0]
+        P, C = subj_arr.padded_first_rings(subj_idx[i])
+        # normalize to CCW (SH assumes consistent orientation for area sign)
+        a_sign = padded_ring_areas(P, C)
+        flip = a_sign < 0
+        if flip.any():
+            for k in np.nonzero(flip)[0]:  # rare; WKB exteriors are CCW
+                P[k, :C[k]] = P[k, :C[k]][::-1]
+        Po, Co = clip_rings_by_rects_batch(P, C, rect_b[rect_idx[i]])
+        areas = padded_ring_areas(Po, Co)
+        keep = (Co >= 3) & (np.abs(areas) > 0)
+        j = i[keep]
+        if len(j):
+            frames.append(pd.DataFrame({
+                id1: pdf[id1].to_numpy()[j],
+                rid: pdf[rid].to_numpy()[j],
+                "geometry": single_ring_polygons_wkb(Po[keep], Co[keep])}))
+    if tier3.any():
+        idx3 = np.nonzero(tier3)[0]
+        pair_code = li[idx3] * np.int64(len(ru)) + ri[idx3]
+        uniq, inv = np.unique(pair_code, return_inverse=True)
+        wkb_u: list[bytes | None] = []
+        for code in uniq.tolist():
+            lg, rg = code // len(ru), code % len(ru)
+            res = polygon_boolean(_parts_of(la, lg), _parts_of(ra, rg),
+                                  "intersection")
+            wkb_u.append(_parts_to_wkb(res))
+        wkbs = [wkb_u[v] for v in inv]
+        keep = [k for k, w in enumerate(wkbs) if w is not None]
+        if keep:
+            j = idx3[keep]
+            frames.append(pd.DataFrame({
+                id1: pdf[id1].to_numpy()[j],
+                rid: pdf[rid].to_numpy()[j],
+                "geometry": [wkbs[k] for k in keep]}))
+    if not frames:
+        return None
+    return pd.concat(frames, ignore_index=True)
+
+
 def _intersection_rows(df1, df2, id1, id2, gridsize) -> DataFrame:
-    """(id1, id2, geometry) of pairwise intersections (non-empty only)."""
-    withg, rid = _pairs_with_geoms(df1, df2, id1, id2, gridsize)
+    """(id1, id2, geometry) of pairwise intersections (non-empty only).
+
+    FUSED plan: cover-cells equi-join (pure JVM, bbox join-filter) -> ONE
+    mapInPandas kernel that anchor-dedups and intersects tiered — no
+    separate refine pass, no geometry re-join by id (pairs that don't truly
+    intersect simply produce an empty intersection and drop out, which IS
+    the refine)."""
+    rid = id2 if id2 != id1 else id2 + "_2"
     id1_t = [f.dataType.simpleString() for f in df1.schema.fields
              if f.name == id1][0]
     id2_t = [f.dataType.simpleString() for f in df2.schema.fields
              if f.name == id2][0]
     schema = f"{id1} {id1_t}, {rid} {id2_t}, geometry binary"
 
+    l = df1.select(F.col(id1).alias("__lid"),
+                   F.col("geometry").alias("__g1"), *_BBOX)
+    l = _cover_cells(l, gridsize, prefix="l_") \
+        .select("__lid", "__g1", "cell_key",
+                F.col("l_cminx").alias("__lminx"),
+                F.col("l_cminy").alias("__lminy"),
+                F.col("l_cmaxx").alias("__lmaxx"),
+                F.col("l_cmaxy").alias("__lmaxy"))
+    r = df2.select(F.col(id2).alias("__rid"),
+                   F.col("geometry").alias("__g2"), *_BBOX)
+    r = _cover_cells(r, gridsize, prefix="r_") \
+        .select("__rid", "__g2", "cell_key",
+                F.col("r_cminx").alias("__rminx"),
+                F.col("r_cminy").alias("__rminy"),
+                F.col("r_cmaxx").alias("__rmaxx"),
+                F.col("r_cmaxy").alias("__rmaxy"))
+    cand = l.join(r, (l["cell_key"] == r["cell_key"]) &
+                  (F.col("__lminx") <= F.col("__rmaxx")) &
+                  (F.col("__lmaxx") >= F.col("__rminx")) &
+                  (F.col("__lminy") <= F.col("__rmaxy")) &
+                  (F.col("__lmaxy") >= F.col("__rminy")), "inner") \
+        .drop(r["cell_key"])
+
+    g = float(gridsize)
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from .geom.wkb import rect_polygon_wkb
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            la = from_wkb(pdf["__g1"].tolist())
-            ra = from_wkb(pdf["__g2"].tolist())
-            # FAST PATH: axis-aligned-rectangle pairs -> vectorized interval
-            # intersection (exact), no polygon-boolean python work
-            lrect = _is_rect(la)
-            rrect = _is_rect(ra)
-            both = lrect[0] & rrect[0]
-            frames = []
-            if both.any():
-                i = np.nonzero(both)[0]
-                bx0 = np.maximum(lrect[1][i, 0], rrect[1][i, 0])
-                by0 = np.maximum(lrect[1][i, 1], rrect[1][i, 1])
-                bx1 = np.minimum(lrect[1][i, 2], rrect[1][i, 2])
-                by1 = np.minimum(lrect[1][i, 3], rrect[1][i, 3])
-                ok = (bx1 > bx0) & (by1 > by0)
-                j = i[ok]
-                if len(j):
-                    frames.append(pd.DataFrame({
-                        id1: pdf[id1].to_numpy()[j],
-                        rid: pdf[rid].to_numpy()[j],
-                        "geometry": rect_polygon_wkb(bx0[ok], by0[ok],
-                                                     bx1[ok], by1[ok])}))
-            out_rows = []
-            for k in np.nonzero(~both)[0].tolist():
-                res = polygon_boolean(_parts_of(la, k), _parts_of(ra, k),
-                                      "intersection")
-                wkb = _parts_to_wkb(res)
-                if wkb is not None:
-                    out_rows.append((pdf[id1].iloc[k], pdf[rid].iloc[k], wkb))
-            if out_rows:
-                frames.append(pd.DataFrame(out_rows,
-                                           columns=[id1, rid, "geometry"]))
-            if frames:
-                yield pd.concat(frames, ignore_index=True)
+            ax = np.maximum(pdf["__lminx"].to_numpy(),
+                            pdf["__rminx"].to_numpy())
+            ay = np.maximum(pdf["__lminy"].to_numpy(),
+                            pdf["__rminy"].to_numpy())
+            anchor = (np.floor((ax + FALSE_EASTING) / g).astype(np.int64)
+                      * np.int64(1 << Y_BITS)
+                      + np.floor(ay / g).astype(np.int64))
+            pdf = pdf.loc[anchor == pdf["cell_key"].to_numpy()]
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.rename(columns={"__lid": id1, "__rid": rid})
+            out = _intersect_batch(pdf, id1, rid)
+            if out is not None:
+                yield out
 
-    return withg.mapInPandas(kernel, schema=schema)
+    return cand.mapInPandas(kernel, schema=schema)
 
 
 def _is_rect(ga: GeomArray) -> tuple[np.ndarray, np.ndarray]:
@@ -132,31 +234,127 @@ def _is_rect(ga: GeomArray) -> tuple[np.ndarray, np.ndarray]:
     return rect_flags(ga)
 
 
-def _difference_rows(df1, df2, id1, id2, gridsize) -> DataFrame:
-    """(id1, geometry) = each df1 geometry minus the union of its partners,
-    plus untouched df1 rows.  One-hit groups take the single-partner fast
-    path inside the kernel (reference `_shapely_diffclip_left`,
-    overlay.py:605-698 + O7)."""
-    withg, rid = _pairs_with_geoms(df1, df2, id1, id2, gridsize)
-    id1_t = [f.dataType.simpleString() for f in df1.schema.fields
-             if f.name == id1][0]
+def _erase_rows(left_geoms: DataFrame, pairs: DataFrame,
+                right_geoms: DataFrame, id1: str, rid: str,
+                id1_t: str, rid_t: str) -> DataFrame:
+    """Two-phase erase with PARTNER-SET DEDUP (reference O8,
+    overlay.py:628-676):
+
+      phase 1  pairs -> per-left sorted partner-set; each DISTINCT set's
+               union computed ONCE (groupBy(pset) applyInPandas; singleton
+               sets skip union entirely — reference O7 one-hit fast path);
+      phase 2  left rows join their set's precomputed union; a batched
+               mapInPandas does ONE difference per left row (per unique
+               (geom, union) value pair) — no per-left sequential partner
+               loop, so a left with thousands of partners is no longer a
+               single straggler task.
+
+    Returns (id1, geometry) for lefts that HAVE partners; empty results
+    (fully erased) are dropped."""
+    psets = pairs.groupBy(id1).agg(
+        F.sort_array(F.collect_set(rid)).alias("__pset"))
+    memb = (psets.select("__pset").distinct()
+            .withColumn(rid, F.explode("__pset")))
+    memb = memb.join(right_geoms, rid)
+    union_schema = f"__pset array<{rid_t}>, __ug binary"
+
+    def union_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pset = list(key[0])
+        if len(pdf) == 1:  # O7: singleton set -> partner geometry as-is
+            return pd.DataFrame({"__pset": [pset],
+                                 "__ug": [pdf["__g2"].iloc[0]]})
+        ra = from_wkb(pdf["__g2"].tolist())
+        rect, rb = _is_rect(ra)
+        if bool(rect.all()):
+            # ALL-RECT partner set: defer to the rectilinear erase in the
+            # diff kernel (exact coordinate-compression difference, no
+            # O(k^2) union) — ship the packed rects, marker 'R'
+            packed = b"R" + rb.astype("<f8").tobytes()
+            return pd.DataFrame({"__pset": [pset], "__ug": [packed]})
+        from .geom.clip import union_many
+        parts = [p for k in range(len(pdf)) for p in _parts_of(ra, k)]
+        u = union_many(parts)
+        wkb = _parts_to_wkb(u)
+        if wkb is None:
+            return pd.DataFrame({"__pset": [], "__ug": []})
+        return pd.DataFrame({"__pset": [pset], "__ug": [wkb]})
+
+    unions = memb.groupBy("__pset").applyInPandas(union_group,
+                                                  schema=union_schema)
+    todo = (left_geoms.join(psets, id1).join(unions, "__pset")
+            .select(id1, "__g1", "__ug"))
     schema = f"{id1} {id1_t}, geometry binary"
 
-    def erase_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        la = from_wkb(pdf["__g1"].iloc[:1].tolist())
-        cur = _parts_of(la, 0)
-        ra = from_wkb(pdf["__g2"].tolist())
-        for k in range(len(pdf)):
-            if not cur:
-                break
-            cur = polygon_boolean(cur, _parts_of(ra, k), "difference")
-        wkb = _parts_to_wkb(cur) if cur else None
-        if wkb is None:
-            return pd.DataFrame({id1: [], "geometry": []})
-        return pd.DataFrame({id1: [key[0]], "geometry": [wkb]})
+    def diff_kernel(batches: Iterator[pd.DataFrame]
+                    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            lcodes, lu = pd.factorize(pdf["__g1"], use_na_sentinel=False)
+            ucodes, uu = pd.factorize(pdf["__ug"], use_na_sentinel=False)
+            la = from_wkb(list(lu))
+            # 'R'-marked blobs are packed rect sets, not WKB — decode only
+            # the true geometries and remap indices
+            is_wkb = [not (isinstance(b, (bytes, bytearray))
+                           and b[:1] == b"R") for b in uu]
+            wkb_pos = np.cumsum(is_wkb) - 1
+            ua = from_wkb([b for b, w in zip(uu, is_wkb) if w])
+            li = np.asarray(lcodes, dtype=np.int64)
+            ui = np.asarray(ucodes, dtype=np.int64)
+            pair_code = li * np.int64(len(uu)) + ui
+            uniq, inv = np.unique(pair_code, return_inverse=True)
+            lrect_u, lb_u = _is_rect(la)
+            lbounds = la.bounds()
+            wkb_u: list[bytes | None] = []
+            for code in uniq.tolist():
+                lg, ug = code // len(uu), code % len(uu)
+                blob = uu[ug]
+                if isinstance(blob, (bytes, bytearray)) and blob[:1] == b"R":
+                    # packed all-rect partner set -> exact rectilinear erase
+                    from .geom.rectops import rect_minus_rects, \
+                        rects_union_parts
+                    rects = np.frombuffer(blob, dtype="<f8",
+                                          offset=1).reshape(-1, 4)
+                    if lrect_u[lg]:
+                        res = rect_minus_rects(tuple(lb_u[lg]), rects)
+                        wkb_u.append(_parts_to_wkb(res) if res else None)
+                    else:
+                        u_parts = rects_union_parts(tuple(lbounds[lg]), rects)
+                        res = polygon_boolean(_parts_of(la, lg), u_parts,
+                                              "difference")
+                        wkb_u.append(_parts_to_wkb(res))
+                    continue
+                res = polygon_boolean(_parts_of(la, lg),
+                                      _parts_of(ua, int(wkb_pos[ug])),
+                                      "difference")
+                wkb_u.append(_parts_to_wkb(res))
+            wkbs = [wkb_u[v] for v in inv]
+            keep = [k for k, w in enumerate(wkbs) if w is not None]
+            if keep:
+                yield pd.DataFrame({
+                    id1: pdf[id1].to_numpy()[keep],
+                    "geometry": [wkbs[k] for k in keep]})
 
-    erased = withg.groupBy(id1).applyInPandas(erase_group, schema=schema)
-    untouched = df1.join(withg.select(id1).distinct(), id1, "left_anti") \
+    return todo.mapInPandas(diff_kernel, schema=schema)
+
+
+def _difference_rows(df1, df2, id1, id2, gridsize) -> DataFrame:
+    """(id1, geometry) = each df1 geometry minus the union of its partners,
+    plus untouched df1 rows.  Partner unions are deduped across identical
+    partner sets (O8) and the per-left erase is batched (see _erase_rows)."""
+    pairs = sjoin_pairs(df1, df2, "intersects", left_id=id1, right_id=id2,
+                        gridsize=gridsize)
+    rid = pairs.columns[1]
+    id1_t = [f.dataType.simpleString() for f in df1.schema.fields
+             if f.name == id1][0]
+    rid_t = [f.dataType.simpleString() for f in df2.schema.fields
+             if f.name == id2][0]
+    left_geoms = df1.select(F.col(id1), F.col("geometry").alias("__g1"))
+    right_geoms = df2.select(F.col(id2).alias(rid),
+                             F.col("geometry").alias("__g2"))
+    erased = _erase_rows(left_geoms, pairs, right_geoms, id1, rid,
+                         id1_t, rid_t)
+    untouched = df1.join(pairs.select(id1).distinct(), id1, "left_anti") \
                    .select(id1, "geometry")
     return erased.unionByName(untouched)
 
@@ -249,29 +447,17 @@ def update_geometries(df: DataFrame, *, id_col: str, rank_col: str,
               .join(ranks.withColumnRenamed(id_col, rid)
                     .withColumnRenamed(rank_col, "__rrank"), rid) \
               .where(F.col("__lrank") > F.col("__rrank"))
-    g1 = df.select(F.col(id_col), F.col("geometry").alias("__g1"))
-    g2 = df.select(F.col(id_col).alias(rid), F.col("geometry").alias("__g2"))
-    withg = pr.join(g1, id_col).join(g2, rid)
+    # erase-by-union is order-free (A − B1 − B2 = A − (B1 ∪ B2)), so the
+    # rank-filtered pairs feed the same O8 two-phase erase as difference
     id_t = [f.dataType.simpleString() for f in df.schema.fields
             if f.name == id_col][0]
-    schema = f"{id_col} {id_t}, geometry binary"
-
-    def erase_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        la = from_wkb(pdf["__g1"].iloc[:1].tolist())
-        cur = _parts_of(la, 0)
-        ra = from_wkb(pdf["__g2"].tolist())
-        order = np.argsort(pdf["__rrank"].to_numpy(), kind="stable")
-        for k in order:
-            if not cur:
-                break
-            cur = polygon_boolean(cur, _parts_of(ra, int(k)), "difference")
-        wkb = _parts_to_wkb(cur) if cur else None
-        if wkb is None:
-            return pd.DataFrame({id_col: [], "geometry": []})
-        return pd.DataFrame({id_col: [key[0]], "geometry": [wkb]})
-
-    erased = withg.groupBy(id_col).applyInPandas(erase_group, schema=schema)
-    untouched = df.join(withg.select(id_col).distinct(), id_col, "left_anti") \
-                  .select(id_col, "geometry")
+    left_geoms = df.select(F.col(id_col), F.col("geometry").alias("__g1"))
+    right_geoms = df.select(F.col(id_col).alias(rid),
+                            F.col("geometry").alias("__g2"))
+    rank_pairs = pr.select(id_col, rid)
+    erased = _erase_rows(left_geoms, rank_pairs, right_geoms, id_col, rid,
+                         id_t, id_t)
+    untouched = df.join(rank_pairs.select(id_col).distinct(), id_col,
+                        "left_anti").select(id_col, "geometry")
     geo = erased.unionByName(untouched)
     return df.drop("geometry", *_BBOX).join(geo, id_col, "inner")
