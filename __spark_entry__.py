@@ -259,15 +259,13 @@ def q_snap(spark, sf_dir):
     """Snap doc points to the nearest zone-center point within 3000 m;
     output squared distance (integer-exact, tie-proof)."""
     from sgspark.point_ops import snap_within_distance
-    from sgspark.conversion import df_from_xy
-    import numpy as np
-    from sgspark.synth import zone_params
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey")
-    pdf = cust.toPandas()
-    k = pdf["c_custkey"].to_numpy()
-    cx, cy, _ = zone_params(k)
-    centers = df_from_xy(spark, cx, cy, ids=k.tolist()) \
-        .withColumnRenamed("row_id", "zone_id")
+    from sgspark.io import wkt_to_wkb_df
+    # centers constructed fully JVM-side (no driver toPandas round-trip)
+    centers = wkt_to_wkb_df(
+        spark.read.parquet(f"{sf_dir}/customer.parquet").selectExpr(
+            "c_custkey AS zone_id",
+            f"concat('POINT (', cast({ZX} as bigint), ' ', "
+            f"cast({ZY} as bigint), ')') AS geometry_wkt"))
     pts = _geo_points(spark, sf_dir)
     out = snap_within_distance(pts, centers, 3000.0, left_id="doc_id_num",
                                right_id="zone_id")
@@ -523,12 +521,15 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1""",
         "near_dup_pairs": shingles + """
           , sk AS (
-            SELECT doc_id, h, rn FROM (
-              SELECT doc_id, md5(sh) AS h,
-                     row_number() OVER (PARTITION BY doc_id ORDER BY md5(sh)) rn
-              FROM sh) WHERE rn <= 16
+            -- one-permutation 16-bucket min sketch (bucket = first hex
+            -- digit of md5), mirroring sgspark.textops.minhash_sketch
+            SELECT doc_id,
+                   strpos('0123456789abcdef', substr(md5(sh), 1, 1)) - 1
+                     AS bucket,
+                   min(md5(sh)) AS h
+            FROM sh GROUP BY 1, 2
           ), sig AS (
-            SELECT doc_id, (rn - 1) // 4 AS band,
+            SELECT doc_id, bucket // 4 AS band,
                    string_agg(h, '' ORDER BY h) AS bh
             FROM sk GROUP BY 1, 2
           ), cand AS (
