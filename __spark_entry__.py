@@ -287,6 +287,93 @@ def q_zonal_stats(spark, sf_dir):
                       F.round("mean", 6).alias("mean_val"))
 
 
+def q_crs_roundtrip(spark, sf_dir):
+    """UTM->WGS84->UTM roundtrip of the doc points through the exact
+    Transverse Mercator kernel; output = original coords to the mm, which
+    the oracle reproduces with plain arithmetic (gates the whole CRS
+    kernel: roundtrip error < 1e-8 m)."""
+    from sgspark.crs import from_4326, set_crs, to_4326
+    pts = set_crs(_geo_points(spark, sf_dir), 25833)
+    back = from_4326(to_4326(pts))
+    return back.select(F.col("doc_id_num").alias("doc_id"),
+                       F.round("minx", 3).alias("x_mm"),
+                       F.round("miny", 3).alias("y_mm"))
+
+
+def _supplier_graph(spark, sf_dir):
+    """Deterministic road graph over supplier keys: chain edges
+    (i, i+1, 1 + i%7) + shortcuts (i, i+10, 5), undirected."""
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet") \
+        .select(F.col("s_suppkey").cast("long").alias("k"))
+    chain = sup.selectExpr("cast(k as string) AS source",
+                           "cast(k + 1 as string) AS target",
+                           "cast(1 + k % 7 as double) AS length") \
+        .join(sup.selectExpr("cast(k as string) AS target"), "target",
+              "left_semi")
+    short = sup.selectExpr("cast(k as string) AS source",
+                           "cast(k + 10 as string) AS target",
+                           "cast(5 as double) AS length") \
+        .join(sup.selectExpr("cast(k as string) AS target"), "target",
+              "left_semi")
+    return chain.unionByName(short)
+
+
+def q_route_costs(spark, sf_dir):
+    """Multi-hop shortest-path costs from node 1 to every node, through the
+    distributed Bellman-Ford; integer weights -> exact SQL oracle via
+    min-plus matrix squaring."""
+    from sgspark.network import od_cost_matrix
+    edges = _supplier_graph(spark, sf_dir)
+    orig = spark.createDataFrame([("o1", "1")], ["oid", "node"])
+    dests = spark.read.parquet(f"{sf_dir}/supplier.parquet").selectExpr(
+        "cast(s_suppkey as long) AS did",
+        "cast(s_suppkey as string) AS node")
+    od = od_cost_matrix(edges, orig, dests, max_iter=30)
+    return od.select("did", F.col("cost").cast("long").alias("cost"))
+
+
+def q_route_edges(spark, sf_dir):
+    """Route edge sequence 1 -> max supplier node (rows-only: the oracle
+    can't reproduce the deterministic tie-break cheaply)."""
+    from sgspark.network import get_route
+    edges = _supplier_graph(spark, sf_dir)
+    orig = spark.createDataFrame([("o1", "1")], ["oid", "node"])
+    n = spark.read.parquet(f"{sf_dir}/supplier.parquet") \
+        .agg(F.max("s_suppkey")).first()[0]
+    dest = spark.createDataFrame([("d1", str(n))], ["did", "node"])
+    return get_route(edges, orig, dest, max_iter=30) \
+        .select("seq", "source", "target", "cost")
+
+
+def q_coverage_clean(spark, sf_dir):
+    """coverage_clean over a deterministic dirty layer derived from nation
+    keys (rows-only gate: geometry unions aren't SQL-expressible)."""
+    from sgspark.cleaning import coverage_clean
+    from sgspark.io import wkt_to_wkb_df
+    # 5x5 tile coverage, 100-wide tiles at pitch 101 (1-unit thin gaps),
+    # ENCLOSED by a hole-bearing frame so the gap network is interior, plus
+    # one half-offset overlapper creating a double surface
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet") \
+        .select(F.col("n_nationkey").cast("long").alias("k"))
+    base = nat.selectExpr(
+        "k AS pid",
+        "concat('POLYGON ((', (k % 5) * 101, ' ', (k div 5) * 101, ', ', "
+        "(k % 5) * 101 + 100, ' ', (k div 5) * 101, ', ', "
+        "(k % 5) * 101 + 100, ' ', (k div 5) * 101 + 100, ', ', "
+        "(k % 5) * 101, ' ', (k div 5) * 101 + 100, ', ', "
+        "(k % 5) * 101, ' ', (k div 5) * 101, '))') AS geometry_wkt")
+    extra = spark.createDataFrame(
+        [(1000, "POLYGON ((-50 -50, 555 -50, 555 555, -50 555, -50 -50), "
+                "(-0.5 -0.5, -0.5 504.5, 504.5 504.5, 504.5 -0.5, "
+                "-0.5 -0.5))"),
+         (1001, "POLYGON ((50.5 49.5, 150.5 49.5, 150.5 149.5, "
+                "50.5 149.5, 50.5 49.5))")],
+        ["pid", "geometry_wkt"])
+    out = coverage_clean(wkt_to_wkb_df(base.unionByName(extra)), 3.0,
+                         id_col="pid", gridsize=300.0)
+    return out.select("pid").orderBy("pid")
+
+
 def q_dedup_exact(spark, sf_dir):
     from sgspark.textops import exact_dedup
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -377,6 +464,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zone_dissolve": q_zone_dissolve,
         "snap": q_snap,
         "zonal_stats": q_zonal_stats,
+        "crs_roundtrip": q_crs_roundtrip,
+        "route_costs": q_route_costs,
+        "route_edges": q_route_edges,
+        "coverage_clean": q_coverage_clean,
         "dedup_exact": q_dedup_exact,
         "near_dup_pairs": q_near_dup_pairs,
         "token_stats": q_token_stats,
@@ -500,6 +591,56 @@ def oracle_sql() -> dict[str, str]:
         "overlay_intersection": _overlay_oracle(),
         "overlay_concave": _concave_oracle("intersection"),
         "overlay_concave_diff": _concave_oracle("difference"),
+        "crs_roundtrip": f"""
+            SELECT doc_id, round(CAST({PX} AS DOUBLE), 3) AS x_mm,
+                   round(CAST({PY} AS DOUBLE), 3) AS y_mm
+            FROM documents""",
+        "route_costs": """
+            -- min-plus matrix squaring: d(2k) = min over mid of
+            -- d(k)+d(k); 7 doublings cover 128 hops >= graph diameter
+            WITH e0 AS (
+              SELECT CAST(a.s_suppkey AS BIGINT) AS u,
+                     CAST(a.s_suppkey + 1 AS BIGINT) AS v,
+                     CAST(1 + a.s_suppkey % 7 AS BIGINT) AS c
+              FROM supplier a JOIN supplier b
+                ON b.s_suppkey = a.s_suppkey + 1
+              UNION ALL
+              SELECT CAST(a.s_suppkey AS BIGINT),
+                     CAST(a.s_suppkey + 10 AS BIGINT), 5
+              FROM supplier a JOIN supplier b
+                ON b.s_suppkey = a.s_suppkey + 10
+            ), e AS (
+              SELECT u, v, c FROM e0
+              UNION ALL SELECT v, u, c FROM e0
+              UNION ALL SELECT CAST(s_suppkey AS BIGINT),
+                               CAST(s_suppkey AS BIGINT), 0 FROM supplier
+            ), d1 AS (
+              SELECT u, v, min(c) AS c FROM e GROUP BY u, v
+            ), d2 AS (
+              SELECT a.u, b.v, min(a.c + b.c) AS c
+              FROM d1 a JOIN d1 b ON a.v = b.u GROUP BY a.u, b.v
+            ), d4 AS (
+              SELECT a.u, b.v, min(a.c + b.c) AS c
+              FROM d2 a JOIN d2 b ON a.v = b.u GROUP BY a.u, b.v
+            ), d8 AS (
+              SELECT a.u, b.v, min(a.c + b.c) AS c
+              FROM d4 a JOIN d4 b ON a.v = b.u GROUP BY a.u, b.v
+            ), d16 AS (
+              SELECT a.u, b.v, min(a.c + b.c) AS c
+              FROM d8 a JOIN d8 b ON a.v = b.u GROUP BY a.u, b.v
+            ), d32 AS (
+              SELECT a.u, b.v, min(a.c + b.c) AS c
+              FROM d16 a JOIN d16 b ON a.v = b.u GROUP BY a.u, b.v
+            ), d64 AS (
+              SELECT a.u, b.v, min(a.c + b.c) AS c
+              FROM d32 a JOIN d32 b ON a.v = b.u GROUP BY a.u, b.v
+            ), d128 AS (
+              SELECT a.u, b.v, min(a.c + b.c) AS c
+              FROM d64 a JOIN d64 b ON a.v = b.u GROUP BY a.u, b.v
+            )
+            SELECT CAST(s.s_suppkey AS BIGINT) AS did, d.c AS cost
+            FROM supplier s LEFT JOIN d128 d
+              ON d.u = 1 AND d.v = CAST(s.s_suppkey AS BIGINT)""",
         "gridloop_tile_counts": f"""
             SELECT {tile} AS tile_id, count(*) AS n_points
             FROM documents GROUP BY 1""",

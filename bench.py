@@ -86,7 +86,8 @@ def main():
         force_kernel = os.environ.get("SPARK_GRAFT_FORCE_KERNEL") == "1"
         pairs = sjoin_pairs(
             pts, zones, "within", left_id="doc_index", right_id="zone_id",
-            broadcast_right=False if force_kernel else True)
+            broadcast_right=False if force_kernel else True,
+            assume_left_points=True)  # pts is geom_kind='point' filtered
         agg = pairs.agg(F.count("*").alias("n"),
                         F.expr("bit_xor(doc_index * 1000003 + zone_id)")
                         .alias("chk"))
@@ -140,12 +141,18 @@ def main():
         clean_overlay(a, b, "intersection", id1="aid", id2="bid") \
             .agg(F.count("*")).collect()
 
-    run("spatial_pipeline", spatial_pipeline)
-    run("gridloop_tiles", gridloop_tiles)
-    run("knn", knn)
-    run("near_dup", near_dup)
-    run("cosine_topk", cosine)
-    run("overlay", overlay)
+    all_queries = {"spatial_pipeline": spatial_pipeline,
+                   "gridloop_tiles": gridloop_tiles,
+                   "knn": knn,
+                   "near_dup": near_dup,
+                   "cosine_topk": cosine,
+                   "overlay": overlay}
+    # SPARK_GRAFT_ONLY=q1,q2 runs a subset (the scaling harness times the
+    # spatial pipeline alone so fixed small-data queries don't pollute it)
+    only = os.environ.get("SPARK_GRAFT_ONLY")
+    names = [n.strip() for n in only.split(",")] if only else list(all_queries)
+    for n in names:
+        run(n, all_queries[n])
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -157,8 +164,12 @@ def main():
         "cores": cores,
         "scale": scale,
         "n_docs": n_docs,
-        "throughput_docs_per_sec": round(n_docs / timings["spatial_pipeline"], 1),
     }
+    if "spatial_pipeline" in timings:
+        out["throughput_docs_per_sec"] = round(
+            n_docs / timings["spatial_pipeline"], 1)
+    if n_docs > 200_000 and "knn" in timings:
+        out["knn_left_cap"] = 200_000  # kNN left side is capped (labeled)
     print(json.dumps(out))
 
 

@@ -1,0 +1,117 @@
+"""coverage_clean — the reference's flagship polygon-coverage repair
+pipeline (`/root/reference/src/sgis/geopandas_tools/cleaning.py:55-330`):
+make a polygon layer a clean coverage by
+
+  1. closing THIN interior holes (close_thin_holes, tolerance),
+  2. filling THIN gaps between polygons into the neighbor sharing the
+     longest border (get_gaps -> thinness filter -> eliminate_by_longest),
+  3. removing double surfaces: pairwise overlaps are assigned to exactly
+     one owner by priority (update_geometries, largest-area first),
+  4. removing needle spikes narrower than the tolerance.
+
+Spark shape: every stage is one of the engine's distributed primitives;
+the only driver actions are the bounded loops already inside them.
+Thin/not-thin classification uses the deterministic grid-sample inradius
+kernel (geom/measure.py) — the no-GEOS twin of buffer(-tolerance/2)
+emptiness.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from .io import with_bounds
+from .overlay import _parts_of, update_geometries
+from .polygon_ops import (close_thin_holes, eliminate_by_longest, get_gaps,
+                          remove_spikes)
+
+
+def _thin_flag(df: DataFrame, tolerance: float,
+               geometry: str = "geometry") -> DataFrame:
+    """Adds `__thin` = max inscribed diameter < tolerance."""
+    from .geom.measure import parts_max_inradius
+    from .geom.wkb import from_wkb
+    pitch = float(tolerance) / 8.0
+    thr = float(tolerance) / 2.0
+    schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                       for f in df.schema.fields) + ", __thin boolean"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ga = from_wkb(pdf[geometry].tolist())
+            out = pdf.copy()
+            out["__thin"] = [
+                parts_max_inradius(_parts_of(ga, g), pitch) < thr
+                for g in range(len(ga))]
+            yield out
+
+    return df.mapInPandas(kernel, schema=schema)
+
+
+def _with_area(df: DataFrame, id_col: str) -> DataFrame:
+    from .geom.wkb import from_wkb
+    id_t = [f.dataType.simpleString() for f in df.schema.fields
+            if f.name == id_col][0]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ga = from_wkb(pdf["geometry"].tolist())
+            out = pdf[[id_col]].copy()
+            out["__area"] = ga.area()
+            yield out
+
+    return df.select(id_col, "geometry").mapInPandas(
+        kernel, schema=f"{id_col} {id_t}, __area double")
+
+
+def coverage_clean(df: DataFrame, tolerance: float, *, id_col: str,
+                   gridsize: float = 2000.0) -> DataFrame:
+    """Returns the cleaned layer (id_col + attributes + geometry, bbox
+    columns recomputed).  See module docstring; reference
+    cleaning.py:55-330 and tests/test_cleaning.py happy paths.
+    Requires a non-negative integer id_col (synthetic gap ids use the
+    negative space)."""
+    attrs = [c for c in df.columns
+             if c not in (id_col, "geometry", "minx", "miny", "maxx", "maxy")]
+
+    # 1. thin interior holes
+    cur = with_bounds(close_thin_holes(
+        df.drop("minx", "miny", "maxx", "maxy"), tolerance))
+
+    # 2. thin gaps -> neighbor with longest shared border; gap rows get
+    # synthetic NEGATIVE ids (disjoint from real ids) and are dropped after
+    # their surface has been unioned into the chosen keeper
+    gaps = with_bounds(
+        get_gaps(cur, id_col=id_col, gridsize=gridsize).select("geometry"))
+    gaps = gaps.withColumn(
+        id_col, -(F.abs(F.xxhash64("geometry")) + F.lit(1)))
+    thin_gaps = (_thin_flag(gaps, tolerance).where("__thin")
+                 .select(id_col, "geometry", "minx", "miny", "maxx", "maxy"))
+    filled = eliminate_by_longest(cur, thin_gaps, id_col=id_col,
+                                  gridsize=gridsize)
+    filled = filled.where(F.col(id_col) >= 0)  # drop isolated gap debris
+
+    # 3. double surfaces: priority = largest area first (reference runs
+    # sort_large_first before update_geometries)
+    # rank = (-area, id) struct compared lexicographically — a TOTAL order
+    # without a global row_number window (which would be a single-partition
+    # sort bottleneck at scale)
+    filled = with_bounds(filled.select(id_col, *attrs, "geometry"))
+    ranked = filled.join(_with_area(filled, id_col), id_col) \
+        .withColumn("__rank", F.struct((-F.col("__area")).alias("na"),
+                                       F.col(id_col).alias("tid"))) \
+        .drop("__area")
+    deduped = update_geometries(ranked, id_col=id_col, rank_col="__rank",
+                                gridsize=gridsize).drop("__rank")
+
+    # 4. spikes
+    out = remove_spikes(deduped.select(id_col, *attrs, "geometry"),
+                        tolerance)
+    return with_bounds(out)

@@ -167,3 +167,127 @@ def get_total_bounds(df: DataFrame) -> tuple:
     """get_total_bounds (bounds.py:682-705)."""
     r = df.agg(F.min("minx"), F.min("miny"), F.max("maxx"), F.max("maxy")).first()
     return tuple(r)
+
+
+def with_centroid(df: DataFrame, geometry: str = "geometry",
+                  x_col: str = "cx", y_col: str = "cy") -> DataFrame:
+    """Attach centroid coordinate columns (vectorized kernel)."""
+    schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                       for f in df.schema.fields) + \
+        f", {x_col} double, {y_col} double"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ga = from_wkb(pdf[geometry].tolist())
+            c = ga.centroid()
+            out = pdf.copy()
+            out[x_col] = c[:, 0]
+            out[y_col] = c[:, 1]
+            yield out
+
+    return df.mapInPandas(kernel, schema=schema)
+
+
+def get_grouped_centroids(df: DataFrame, by: list[str], *,
+                          label_col: str = "grouped_centroid",
+                          geometry: str = "geometry") -> DataFrame:
+    """Per-group centroid-of-centroids as a '{x}_{y}' string label, joined
+    back onto every row (get_grouped_centroids, general.py:252-285)."""
+    cent = with_centroid(df.select(*by, geometry), geometry)
+    lab = (cent.groupBy(*by)
+           .agg(F.avg("cx").alias("__gx"), F.avg("cy").alias("__gy"))
+           .select(*by, F.concat_ws(
+               "_", F.col("__gx").cast("bigint").cast("string"),
+               F.col("__gy").cast("bigint").cast("string")).alias(label_col)))
+    return df.join(lab, by, "left")
+
+
+def sort_nans_last(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Rows with the most non-null attribute values first (sort_nans_last,
+    helpers.py) — adds the null-count as a sortable column and orders by
+    it; Spark's order is a total order with the extra tiebreak columns the
+    caller supplies downstream."""
+    cols = cols or [c for c in df.columns
+                    if c not in ("geometry", "minx", "miny", "maxx", "maxy")]
+    n_nulls = None
+    for c in cols:
+        e = F.col(c).isNull().cast("int")
+        n_nulls = e if n_nulls is None else (n_nulls + e)
+    return df.withColumn("__n_nulls", n_nulls).orderBy(F.col("__n_nulls")) \
+             .drop("__n_nulls")
+
+
+def points_in_bounds(spark, bounds: tuple, spacing: float) -> DataFrame:
+    """Regular point grid inside a bbox (points_in_bounds,
+    general.py:1124-1148) — pure SQL sequence x sequence, no Python."""
+    x0, y0, x1, y1 = [float(v) for v in bounds]
+    s = float(spacing)
+    nx = int(np.floor((x1 - x0) / s))
+    ny = int(np.floor((y1 - y0) / s))
+    return (spark.range(nx + 1).selectExpr("id AS ix")
+            .crossJoin(spark.range(ny + 1).selectExpr("id AS iy"))
+            .selectExpr(f"{x0} + ix * {s} AS x", f"{y0} + iy * {s} AS y"))
+
+
+def points_in_polygons(polys: DataFrame, spacing: float, *,
+                       id_col: str, gridsize: float = 2000.0) -> DataFrame:
+    """Point grid clipped to polygons (points_in_polygons,
+    general.py:1124-1148): grid over total bounds, then the PIP join."""
+    from .joins import sjoin_pairs
+    from .io import with_bounds
+    spark = polys.sparkSession
+    b = get_total_bounds(polys)
+    pts = points_in_bounds(spark, b, spacing) \
+        .withColumn("pt_id", F.expr(
+            "cast(x as bigint) * 1000003 + cast(y as bigint)"))
+    pts_g = pts.selectExpr("pt_id", "x AS minx", "y AS miny",
+                           "x AS maxx", "y AS maxy")
+    # point rows need WKB geometry for the refine kernel
+    from .geom.array import points as make_points
+    from .geom.wkb import to_wkb as _to_wkb
+    from typing import Iterator as _It
+
+    def pk(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            xy = np.stack([pdf["minx"].to_numpy(),
+                           pdf["miny"].to_numpy()], axis=1)
+            out = pdf.copy()
+            out["geometry"] = _to_wkb(make_points(xy))
+            yield out
+
+    pts_g = pts_g.mapInPandas(
+        pk, schema="pt_id bigint, minx double, miny double, maxx double, "
+                   "maxy double, geometry binary")
+    pairs = sjoin_pairs(pts_g, polys, "within", left_id="pt_id",
+                        right_id=id_col, gridsize=gridsize)
+    return pts.join(pairs, "pt_id").select("x", "y", id_col)
+
+
+def sort_long_first(df: DataFrame, geometry: str = "geometry",
+                    ascending: bool = False) -> DataFrame:
+    """orderBy line length (sort_long_first / sort_short_first,
+    general.py:287-393): adds `length_col` then sorts."""
+    schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                       for f in df.schema.fields) + ", length_col double"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ga = from_wkb(pdf[geometry].tolist())
+            out = pdf.copy()
+            out["length_col"] = ga.length()
+            yield out
+
+    out = df.mapInPandas(kernel, schema=schema)
+    order = F.col("length_col").asc() if ascending \
+        else F.col("length_col").desc()
+    return out.orderBy(order)
+
+
+def sort_short_first(df: DataFrame, geometry: str = "geometry") -> DataFrame:
+    return sort_long_first(df, geometry, ascending=True)

@@ -286,12 +286,39 @@ def _no_cross_result(ra, rb, op) -> list[np.ndarray]:
     return [ra]
 
 
+def _snap_ring(ring: np.ndarray, grid: float) -> np.ndarray | None:
+    """Snap-round a ring to `grid`, dropping resulting duplicate and
+    collinear vertices.  None if it degenerates below a triangle."""
+    r = np.round(ring[:-1] / grid) * grid
+    keep = np.ones(len(r), dtype=bool)
+    keep[1:] = (np.abs(r[1:] - r[:-1]) > 0).any(axis=1)
+    r = r[keep]
+    if len(r) >= 2 and np.array_equal(r[0], r[-1]):
+        r = r[:-1]
+    if len(r) >= 3:
+        prv = np.roll(r, 1, axis=0)
+        nxt = np.roll(r, -1, axis=0)
+        cross = ((r[:, 0] - prv[:, 0]) * (nxt[:, 1] - r[:, 1])
+                 - (r[:, 1] - prv[:, 1]) * (nxt[:, 0] - r[:, 0]))
+        r = r[cross != 0]
+    if len(r) < 3:
+        return None
+    return np.vstack([r, r[:1]])
+
+
 def ring_boolean(ra: np.ndarray, rb: np.ndarray, op: str,
                  max_retries: int = 4) -> list[np.ndarray]:
     """Boolean of two simple rings.  Returns list of rings: CCW = exterior,
-    CW = hole.  Retries with tiny perturbation on degenerate inputs (the
-    epsilon analogue of the reference's grid_size ladder, `runners.py:308-383`)."""
-    eps = 0.0
+    CW = hole.
+
+    Robustness ladder on degenerate inputs (collinear overlaps, endpoint
+    touches, repeated vertices) — the no-GEOS twin of the reference's
+    GridSizeOverlayRunner escalation (`runners.py:308-383`):
+      1. tiny perturbation of B (eps 1e-9 .. 1e-6), then
+      2. SNAP-ROUNDING both rings to escalating grids (1e-9 .. 1e-3 of the
+         coordinate magnitude), which removes duplicate/collinear vertices
+         exactly like shapely's grid_size; fully-degenerate snapped inputs
+         short-circuit to the no-cross containment result."""
     rb_try = rb
     for attempt in range(max_retries + 1):
         try:
@@ -299,7 +326,26 @@ def ring_boolean(ra: np.ndarray, rb: np.ndarray, op: str,
         except DegenerateIntersection:
             eps = 1e-9 * (10 ** attempt)
             rb_try = ensure_closed(rb[:-1] + np.array([eps, eps * 0.7]))
-    raise RuntimeError("polygon boolean failed after perturbation ladder")
+    scale = max(np.abs(ra).max(), np.abs(rb).max(), 1.0)
+    for k in range(4):
+        grid = scale * (1e-9 * 100 ** k)
+        sa = _snap_ring(ra, grid)
+        sb = _snap_ring(rb, grid)
+        if sa is None or sb is None:
+            # one side collapsed: fall back to containment result
+            return _no_cross_result(ensure_ccw(ensure_closed(ra)),
+                                    ensure_ccw(ensure_closed(rb)), op)
+        try:
+            return _normalize_nesting(_gh_once(sa, sb, op))
+        except DegenerateIntersection:
+            # offset the snapped B by half a grid cell (off-lattice) so
+            # snapped-collinear edges separate, then retry once per level
+            sb2 = ensure_closed(sb[:-1] + np.array([grid / 2, grid / 3]))
+            try:
+                return _normalize_nesting(_gh_once(sa, sb2, op))
+            except DegenerateIntersection:
+                continue
+    raise RuntimeError("polygon boolean failed after snap-rounding ladder")
 
 
 def _normalize_nesting(rings: list[np.ndarray]) -> list[np.ndarray]:

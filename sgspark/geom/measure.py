@@ -1,0 +1,103 @@
+"""Thinness / inscribed-radius measurement kernels.
+
+The reference classifies holes/gaps/slivers as "thin" by testing whether a
+NEGATIVE buffer empties them (`polygon_operations.py:1058-1322`
+close_thin_holes: hole.buffer(-tolerance/2) empty; cleaning.py gap
+filtering).  Erosion emptiness by r is equivalent to max-inscribed-circle
+radius < r.  Without GEOS we compute the max inscribed radius with a
+deterministic grid sample + exact point-to-segment distances:
+
+    answer ∈ [R - pitch/√2, R]   (a disk of radius R contains a sample
+    point within pitch/√2 of its center)
+
+so classification against tolerance/2 is exact whenever the true radius is
+at least pitch/√2 away from the threshold — callers pick pitch accordingly
+(default tolerance/8).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def points_in_ring(px: np.ndarray, py: np.ndarray,
+                   ring: np.ndarray) -> np.ndarray:
+    """Vectorized crossing-count point-in-ring (closed ring)."""
+    x1, y1 = ring[:-1, 0], ring[:-1, 1]
+    x2, y2 = ring[1:, 0], ring[1:, 1]
+    cond = (y1[None, :] > py[:, None]) != (y2[None, :] > py[:, None])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = (x2 - x1)[None, :] * (py[:, None] - y1[None, :]) \
+            / (y2 - y1)[None, :] + x1[None, :]
+    return (cond & (px[:, None] < xint)).sum(axis=1) % 2 == 1
+
+
+def dist_to_ring(px: np.ndarray, py: np.ndarray,
+                 ring: np.ndarray) -> np.ndarray:
+    """Min distance from each point to the ring boundary (exact)."""
+    a = ring[:-1]
+    b = ring[1:]
+    d = b - a
+    ll = (d * d).sum(axis=1)
+    rx = px[:, None] - a[None, :, 0]
+    ry = py[:, None] - a[None, :, 1]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = np.clip(np.where(ll[None, :] > 0,
+                             (rx * d[None, :, 0] + ry * d[None, :, 1])
+                             / ll[None, :], 0.0), 0.0, 1.0)
+    cx = a[None, :, 0] + t * d[None, :, 0]
+    cy = a[None, :, 1] + t * d[None, :, 1]
+    return np.sqrt(np.min((px[:, None] - cx) ** 2 + (py[:, None] - cy) ** 2,
+                          axis=1))
+
+
+def ring_max_inradius(ring: np.ndarray, pitch: float) -> float:
+    """Approximate max inscribed circle radius of a simple closed ring.
+    Deterministic (no randomness); 0.0 when no sample lands inside."""
+    minx, miny = ring[:, 0].min(), ring[:, 1].min()
+    maxx, maxy = ring[:, 0].max(), ring[:, 1].max()
+    if maxx <= minx or maxy <= miny:
+        return 0.0
+    xs = np.arange(minx + pitch / 2, maxx, pitch)
+    ys = np.arange(miny + pitch / 2, maxy, pitch)
+    if len(xs) == 0 or len(ys) == 0:
+        xs = np.array([(minx + maxx) / 2])
+        ys = np.array([(miny + maxy) / 2])
+    if len(xs) * len(ys) > 4_000_000:
+        raise ValueError("inradius grid too fine for this extent; "
+                         "raise pitch")
+    PX = np.repeat(xs, len(ys))
+    PY = np.tile(ys, len(xs))
+    inside = points_in_ring(PX, PY, ring)
+    if not inside.any():
+        return 0.0
+    return float(dist_to_ring(PX[inside], PY[inside], ring).max())
+
+
+def parts_max_inradius(parts: list[list[np.ndarray]], pitch: float) -> float:
+    """Max inscribed radius over polygon parts (holes respected: a sample
+    inside a hole doesn't count; its distance uses all rings)."""
+    best = 0.0
+    for rings in parts:
+        ext = rings[0]
+        minx, miny = ext[:, 0].min(), ext[:, 1].min()
+        maxx, maxy = ext[:, 0].max(), ext[:, 1].max()
+        if maxx <= minx or maxy <= miny:
+            continue
+        xs = np.arange(minx + pitch / 2, maxx, pitch)
+        ys = np.arange(miny + pitch / 2, maxy, pitch)
+        if len(xs) == 0 or len(ys) == 0:
+            xs = np.array([(minx + maxx) / 2])
+            ys = np.array([(miny + maxy) / 2])
+        PX = np.repeat(xs, len(ys))
+        PY = np.tile(ys, len(xs))
+        inside = points_in_ring(PX, PY, ext)
+        for h in rings[1:]:
+            inside &= ~points_in_ring(PX, PY, h)
+        if not inside.any():
+            continue
+        d = dist_to_ring(PX[inside], PY[inside], ext)
+        for h in rings[1:]:
+            d = np.minimum(d, dist_to_ring(PX[inside], PY[inside], h))
+        best = max(best, float(d.max()))
+    return best

@@ -137,6 +137,127 @@ def total_bounds(df: DataFrame) -> tuple[float, float, float, float]:
     return tuple(row)
 
 
+_FILTER_OPS = {"==": "=", "=": "=", "!=": "!=", "<": "<", "<=": "<=",
+               ">": ">", ">=": ">=", "in": "in", "not in": "not in"}
+
+
+def filters_to_expr(filters) -> F.Column:
+    """Translate pyarrow-style `[(col, op, val), ...]` (AND list) or
+    `[[...], [...]]` (OR of AND lists) into ONE Catalyst Column — reference
+    `_filters_to_expression` (io/dapla_functions.py:810-867).  Catalyst then
+    pushes it into the scan (predicate pushdown + partition pruning), which
+    is the whole point of the reference helper."""
+    def one(t):
+        col, op, val = t
+        c = F.col(col)
+        if op in ("in", "not in"):
+            e = c.isin(list(val))
+            return ~e if op == "not in" else e
+        return {"=": c == val, "==": c == val, "!=": c != val,
+                "<": c < val, "<=": c <= val,
+                ">": c > val, ">=": c >= val}[op]
+
+    if not filters:
+        return F.lit(True)
+    if isinstance(filters[0], tuple) or (isinstance(filters[0], list) and
+                                         len(filters[0]) == 3 and
+                                         isinstance(filters[0][0], str)):
+        groups = [filters]
+    else:
+        groups = filters
+    out = None
+    for grp in groups:
+        e = None
+        for t in grp:
+            e = one(t) if e is None else (e & one(t))
+        out = e if out is None else (out | e)
+    return out
+
+
+def read_geopandas(spark, paths, *, mask=None, filters=None,
+                   columns=None, partition_grid=None) -> DataFrame:
+    """Reference `read_geopandas` (io/dapla_functions.py:54-171) on Spark:
+    one or many (geo)parquet paths, with
+
+      mask          (minx, miny, maxx, maxy) bbox — becomes a filter on the
+                    bbox stats columns, which Parquet min/max row-group
+                    pruning evaluates BEFORE decoding pages (the engine's
+                    twin of the reference's file-level bbox pruning);
+      filters       pyarrow-style tuple filters -> Catalyst pushdown;
+      columns       projection (column pruning reaches the scan);
+      partition_grid  (column, gridsize) of a hive partition layout written
+                    by write_geoparquet(partition_cols=[column]) — the mask
+                    additionally prunes whole partition DIRECTORIES via a
+                    range predicate on that column.
+    """
+    paths = [paths] if isinstance(paths, str) else list(paths)
+    df = spark.read.parquet(*paths)
+    if filters:
+        df = df.where(filters_to_expr(filters))
+    if mask is not None:
+        mx0, my0, mx1, my1 = [float(v) for v in mask]
+        df = df.where((F.col("minx") <= mx1) & (F.col("maxx") >= mx0) &
+                      (F.col("miny") <= my1) & (F.col("maxy") >= my0))
+        if partition_grid is not None:
+            pcol, g = partition_grid
+            lo = int(np.floor(mx0 / float(g)))
+            hi = int(np.floor(mx1 / float(g)))
+            df = df.where(F.col(pcol).between(lo, hi))
+    if columns:
+        df = df.select(*columns)
+    return df
+
+
+def get_bounds_series(spark, paths) -> pd.DataFrame:
+    """Per-FILE bbox of (geo)parquet datasets — reference
+    `get_bounds_series` (io/dapla_functions.py:433-527).  Scans only the
+    four bbox stats columns (column pruning) grouped by input file; returns
+    a pandas frame (file, minx, miny, maxx, maxy), driver-side like the
+    reference's GeoSeries."""
+    paths = [paths] if isinstance(paths, str) else list(paths)
+    df = spark.read.parquet(*paths).select(
+        F.input_file_name().alias("file"), "minx", "miny", "maxx", "maxy")
+    out = (df.groupBy("file")
+           .agg(F.min("minx").alias("minx"), F.min("miny").alias("miny"),
+                F.max("maxx").alias("maxx"), F.max("maxy").alias("maxy"))
+           .orderBy("file"))
+    return out.toPandas()
+
+
+def check_files(spark, path_glob: str) -> pd.DataFrame:
+    """File listing with size and mtime, sorted by mtime desc — reference
+    `check_files` (io/dapla_functions.py:1043-1108), via the Hadoop FS API
+    (works for any configured filesystem, not just local)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path_glob)
+    fs = p.getFileSystem(conf)
+    statuses = fs.globStatus(p)
+    rows = []
+    if statuses is not None:
+        for st in statuses:
+            rows.append((st.getPath().toString(), int(st.getLen()),
+                         int(st.getModificationTime())))
+    return pd.DataFrame(rows, columns=["path", "size_bytes", "mtime_ms"]) \
+        .sort_values("mtime_ms", ascending=False).reset_index(drop=True)
+
+
+def read_parquet_url(spark, url: str) -> DataFrame:
+    """GET a parquet file over HTTP into a DataFrame — reference
+    `read_parquet_url` (io/read_parquet.py:8-60).  Downloads to a local
+    temp file on the driver then scans it (no network in this sandbox;
+    exercised by reading file:// URLs in tests)."""
+    import tempfile
+    import urllib.request
+    if url.startswith("file://"):
+        return spark.read.parquet(url)
+    tmp = tempfile.NamedTemporaryFile(suffix=".parquet", delete=False)
+    with urllib.request.urlopen(url) as r:  # pragma: no cover (no network)
+        tmp.write(r.read())
+    tmp.close()
+    return spark.read.parquet(tmp.name)
+
+
 def write_geoparquet(df: DataFrame, path: str, partition_cols: list[str] | None = None,
                      mode: str = "overwrite") -> None:
     """Reference `write_geopandas` (dapla_functions.py:529-800): parquet with

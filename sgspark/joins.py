@@ -101,7 +101,8 @@ def sjoin_pairs(left: DataFrame, right: DataFrame, predicate: str = "intersects"
                 *, left_id: str = "left_id", right_id: str = "right_id",
                 distance: float | None = None, gridsize: float = DEFAULT_GRIDSIZE,
                 keep_distance: bool = False,
-                broadcast_right: bool | None = None) -> DataFrame:
+                broadcast_right: bool | None = None,
+                assume_left_points: bool | None = None) -> DataFrame:
     """Candidate generation + refine.  Inputs must carry
     (id, geometry WKB, minx, miny, maxx, maxy); ids must be unique.
 
@@ -116,6 +117,9 @@ def sjoin_pairs(left: DataFrame, right: DataFrame, predicate: str = "intersects"
     through the refine kernel by ~4x.  The big-right path ships WKB through
     the join instead (fully distributed, no driver materialization).
     """
+    from .crs import require_same_crs
+    require_same_crs(left, right)  # analysis-time; untagged frames pass
+
     need_dist = keep_distance or predicate == "dwithin"
     expand = float(distance or 0.0) if predicate == "dwithin" else 0.0
 
@@ -131,7 +135,8 @@ def sjoin_pairs(left: DataFrame, right: DataFrame, predicate: str = "intersects"
                                           left_id=left_id, right_id=right_id,
                                           distance=distance,
                                           gridsize=gridsize,
-                                          keep_distance=keep_distance)
+                                          keep_distance=keep_distance,
+                                          assume_left_points=assume_left_points)
 
     l = left.select(F.col(left_id).alias("__lid"), F.col("geometry").alias("__lg"),
                     "minx", "miny", "maxx", "maxy")
@@ -210,7 +215,9 @@ def sjoin_pairs(left: DataFrame, right: DataFrame, predicate: str = "intersects"
 def _sjoin_pairs_broadcast(left: DataFrame, right: DataFrame, predicate: str,
                            rows: list, *, left_id: str, right_id: str,
                            distance: float | None, gridsize: float,
-                           keep_distance: bool) -> DataFrame:
+                           keep_distance: bool,
+                           assume_left_points: bool | None = None
+                           ) -> DataFrame:
     """Small-right refine: right geometries (pre-collected under a byte cap
     by the caller) parsed once, broadcast as a GeomArray; candidates carry
     ids only."""
@@ -232,12 +239,20 @@ def _sjoin_pairs_broadcast(left: DataFrame, right: DataFrame, predicate: str,
     from .geom.predicates import rect_flags
     r_rect, _rbounds = rect_flags(ra)
     if (len(ra) == 0 or bool(r_rect.all())) and \
-            predicate in ("within", "intersects", "covered_by", "dwithin"):
-        ext = left.agg(
-            F.max(F.col("maxx") - F.col("minx")).alias("ex"),
-            F.max(F.col("maxy") - F.col("miny")).alias("ey")).first()
-        if ext["ex"] is not None and float(ext["ex"] or 0) == 0.0 \
-                and float(ext["ey"] or 0) == 0.0:
+            predicate in ("within", "intersects", "covered_by", "dwithin") \
+            and assume_left_points is not False:
+        if assume_left_points:
+            left_is_points = True  # caller vouches (e.g. geom_kind filter)
+        else:
+            # detection scan only when the caller gave no hint — on big
+            # left sides pass assume_left_points explicitly to skip it
+            ext = left.agg(
+                F.max(F.col("maxx") - F.col("minx")).alias("ex"),
+                F.max(F.col("maxy") - F.col("miny")).alias("ey")).first()
+            left_is_points = (ext["ex"] is not None
+                              and float(ext["ex"] or 0) == 0.0
+                              and float(ext["ey"] or 0) == 0.0)
+        if left_is_points:
             return _points_vs_rects_jvm(
                 spark, left, rids, rb, predicate, left_id=left_id,
                 right_id=right_id, rid_t_source=right, distance=distance,
@@ -451,6 +466,24 @@ def sfilter_split(gdf: DataFrame, other: DataFrame,
     hits = pairs.select(left_id).distinct()
     return (gdf.join(hits, left_id, "left_semi"),
             gdf.join(hits, left_id, "left_anti"))
+
+
+def get_neighbor_dfs(left: DataFrame, right: DataFrame, *,
+                     left_id: str = "left_id", right_id: str = "right_id",
+                     predicate: str = "intersects",
+                     gridsize: float = DEFAULT_GRIDSIZE) -> DataFrame:
+    """Right-side attribute rows grouped per left key
+    (get_neighbor_dfs, neighbors.py:154-160): one row per left id with a
+    `neighbors` array of right-row structs."""
+    pairs = sjoin_pairs(left, right, predicate, left_id=left_id,
+                        right_id=right_id, gridsize=gridsize)
+    rid = pairs.columns[1]
+    rattrs = right.drop("geometry", "minx", "miny", "maxx", "maxy") \
+                  .withColumnRenamed(right_id, rid)
+    joined = pairs.join(rattrs, rid)
+    cols = [c for c in rattrs.columns]
+    return joined.groupBy(left_id).agg(
+        F.collect_list(F.struct(*cols)).alias("neighbors"))
 
 
 def get_all_distances(left: DataFrame, right: DataFrame, *,

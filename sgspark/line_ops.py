@@ -14,7 +14,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window, functions as F
 
 from .geom.array import LINESTRING, from_rings
 from .geom.wkb import from_wkb, to_wkb
@@ -86,6 +86,103 @@ def cut_lines(df: DataFrame, max_length: float, *,
             yield out
 
     return df.mapInPandas(kernel, schema=schema)
+
+
+def _split_chain_at_params(chain: np.ndarray,
+                           params: list[float]) -> list[np.ndarray]:
+    """Split a polyline at arc-length parameters (sorted, deduped)."""
+    seg = np.hypot(*(np.diff(chain, axis=0).T))
+    cum = np.concatenate([[0.0], np.cumsum(seg)])
+    total = float(cum[-1])
+    cuts = sorted({p for p in params if 1e-9 < p < total - 1e-9})
+    if not cuts:
+        return [chain]
+    pieces, cur, start = [], [chain[0]], 0.0
+    ci = 0
+    for i in range(len(seg)):
+        a, b = chain[i], chain[i + 1]
+        s0, s1 = cum[i], cum[i + 1]
+        while ci < len(cuts) and s0 < cuts[ci] <= s1 + 1e-12:
+            t = (cuts[ci] - s0) / max(s1 - s0, 1e-300)
+            mid = a + t * (b - a)
+            cur.append(mid)
+            pieces.append(np.asarray(cur))
+            cur = [mid]
+            ci += 1
+        cur.append(b)
+    if len(cur) >= 2:
+        pieces.append(np.asarray(cur))
+    return pieces
+
+
+def split_lines_by_nearest_point(lines: DataFrame, points: DataFrame, *,
+                                 line_id: str, point_id: str,
+                                 max_distance: float,
+                                 gridsize: float = 2000.0) -> DataFrame:
+    """Split each line at the projections of points whose NEAREST line it
+    is, within max_distance (split_lines_by_nearest_point,
+    cutting_lines.py:216-278).  Output adds `piece_idx`."""
+    from .joins import sjoin_pairs
+    pairs = sjoin_pairs(points, lines, "dwithin", left_id=point_id,
+                        right_id=line_id, distance=float(max_distance),
+                        gridsize=gridsize, keep_distance=True)
+    rid = pairs.columns[1]
+    w = Window.partitionBy(point_id).orderBy(F.col("distance").asc(),
+                                             F.col(rid).asc())
+    nearest = pairs.withColumn("__rk", F.row_number().over(w)) \
+                   .where("__rk = 1").select(point_id, rid)
+    pg = points.select(F.col(point_id), F.col("geometry").alias("__pg"))
+    withg = nearest.join(pg, point_id) \
+        .groupBy(rid).agg(F.collect_list("__pg").alias("__pts")) \
+        .withColumnRenamed(rid, line_id)
+    src = lines.join(withg, line_id, "left")
+    schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                       for f in lines.schema.fields) + ", piece_idx int"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ga = from_wkb(pdf["geometry"].tolist())
+            srcs, blobs, pidx = [], [], []
+            for g in range(len(pdf)):
+                chain = ga.rings_of_geom(g)[0]
+                pts = pdf["__pts"].iloc[g]
+                if pts is None or len(pts) == 0 or len(chain) < 2:
+                    srcs.append(g)
+                    blobs.append(pdf["geometry"].iloc[g])
+                    pidx.append(0)
+                    continue
+                pa = from_wkb(list(pts))
+                pstart = pa.coords_start_per_geom()
+                P = pa.coords[pstart]
+                # arc-length parameter of each point's projection
+                seg = np.diff(chain, axis=0)
+                ll = (seg * seg).sum(axis=1)
+                cum = np.concatenate([[0.0], np.cumsum(np.sqrt(ll))])
+                params = []
+                for p in P:
+                    r = p[None, :] - chain[:-1]
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        t = np.clip(np.where(ll > 0,
+                                             (r * seg).sum(axis=1) / ll,
+                                             0.0), 0, 1)
+                    c = chain[:-1] + t[:, None] * seg
+                    d2 = ((p[None, :] - c) ** 2).sum(axis=1)
+                    j = int(np.argmin(d2))
+                    params.append(float(cum[j] + t[j] * np.sqrt(ll[j])))
+                for k, piece in enumerate(
+                        _split_chain_at_params(chain, params)):
+                    srcs.append(g)
+                    blobs.append(to_wkb(from_rings([[piece]],
+                                                   [LINESTRING]))[0])
+                    pidx.append(k)
+            out = pdf.iloc[srcs].drop(columns=["__pts"]).copy()
+            out["geometry"] = blobs
+            out["piece_idx"] = pidx
+            yield out
+
+    return src.mapInPandas(kernel, schema=schema)
 
 
 def cut_lines_once(df: DataFrame, fraction: float = 0.5, *,

@@ -62,6 +62,62 @@ def get_connected_components(edges: DataFrame) -> DataFrame:
     return connected_components(e, verts)
 
 
+def shortest_paths(edges: DataFrame, origins: DataFrame, *,
+                   weight: str = "length", directed: bool = False,
+                   max_iter: int = 50,
+                   penalties: DataFrame | None = None) -> DataFrame:
+    """Multi-source distributed Bellman-Ford WITH PREDECESSORS.
+
+    Returns (oid, u, cost, pred) — pred = previous node on a shortest path
+    (NULL at the origin), tie-broken deterministically by min (cost, pred)
+    struct ordering.  `penalties` (oid, pu, pv, mult) multiplies specific
+    edge weights per-origin — the k-routes lever (reference
+    _get_route.py:160-257 penalizes used edges and re-solves)."""
+    e = edges.select(F.col("source").alias("u"), F.col("target").alias("v"),
+                     F.col(weight).alias("w"))
+    if not directed:
+        e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"), "w"))
+    e = e.localCheckpoint()
+
+    dist = origins.select(F.col("oid"), F.col("node").alias("u"),
+                          F.lit(0.0).alias("cost"),
+                          F.lit(None).cast("string").alias("pred"))
+    dist = dist.localCheckpoint()
+    for _ in range(max_iter):
+        rel = dist.join(e, "u")
+        if penalties is not None:
+            p = penalties.select(F.col("oid").alias("__poid"),
+                                 F.col("pu").alias("__ppu"),
+                                 F.col("pv").alias("__ppv"), "mult")
+            rel = (rel.join(p, (rel["oid"] == p["__poid"]) &
+                            (rel["u"] == p["__ppu"]) &
+                            (rel["v"] == p["__ppv"]), "left")
+                   .drop("__poid", "__ppu", "__ppv")
+                   .withColumn("w", F.col("w") * F.coalesce("mult", F.lit(1.0)))
+                   .drop("mult"))
+        relaxed = rel.select("oid", F.col("v").alias("u"),
+                             (F.col("cost") + F.col("w")).alias("cost"),
+                             F.col("u").alias("pred"))
+        # min(struct(cost, pred)): min cost, ties to smallest pred — one
+        # deterministic agg, no window
+        new = (dist.unionByName(relaxed)
+               .groupBy("oid", "u")
+               .agg(F.min(F.struct("cost", "pred")).alias("s"))
+               .select("oid", "u", F.col("s.cost").alias("cost"),
+                       F.col("s.pred").alias("pred")))
+        new = new.localCheckpoint()
+        improved = (new.alias("n").join(
+            dist.alias("o"), ["oid", "u"], "left")
+            .where(F.col("o.cost").isNull() |
+                   (F.col("n.cost") < F.col("o.cost"))).count())
+        dist = new
+        if improved == 0:
+            return dist
+    raise RuntimeError(
+        f"shortest_paths did not converge in {max_iter} rounds "
+        "(graph deeper than max_iter hops); raise max_iter")
+
+
 def od_cost_matrix(edges: DataFrame, origins: DataFrame,
                    destinations: DataFrame, *, weight: str = "length",
                    directed: bool = False, max_iter: int = 50) -> DataFrame:
@@ -73,33 +129,246 @@ def od_cost_matrix(edges: DataFrame, origins: DataFrame,
     point snapped to (compose with point_ops.snap_all for search_tolerance
     semantics).  Unreachable pairs get NULL cost, like the reference.
     """
-    e = edges.select(F.col("source").alias("u"), F.col("target").alias("v"),
-                     F.col(weight).alias("w"))
-    if not directed:
-        e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"), "w"))
-    e = e.localCheckpoint()
-
-    dist = origins.select(F.col("oid"), F.col("node").alias("u"),
-                          F.lit(0.0).alias("cost"))
-    dist = dist.localCheckpoint()
-    for _ in range(max_iter):
-        relaxed = (dist.join(e, "u")
-                   .select("oid", F.col("v").alias("u"),
-                           (F.col("cost") + F.col("w")).alias("cost")))
-        new = (dist.unionByName(relaxed)
-               .groupBy("oid", "u").agg(F.min("cost").alias("cost")))
-        new = new.localCheckpoint()
-        improved = (new.alias("n").join(
-            dist.alias("o"), ["oid", "u"], "left")
-            .where(F.col("o.cost").isNull() |
-                   (F.col("n.cost") < F.col("o.cost"))).count())
-        dist = new
-        if improved == 0:
-            break
+    dist = shortest_paths(edges, origins, weight=weight, directed=directed,
+                          max_iter=max_iter)
     out = destinations.select("did", F.col("node").alias("u")) \
         .join(dist, "u", "left")
     return (origins.select("oid").crossJoin(destinations.select("did"))
             .join(out.select("oid", "did", "cost"), ["oid", "did"], "left"))
+
+
+def get_route(edges: DataFrame, origins: DataFrame, destinations: DataFrame,
+              *, weight: str = "length", directed: bool = False,
+              max_iter: int = 50,
+              dist: DataFrame | None = None) -> DataFrame:
+    """Shortest-path EDGE SEQUENCES per (oid, did) — the reference's
+    get_route (`_get_route.py:11-257`).  Returns
+    (oid, did, seq, source, target, cost) with seq = 1-based position from
+    the origin; unreachable pairs produce no rows.
+
+    Distributed backtrack: all od pairs walk their predecessor chains
+    simultaneously, one join per round (rounds = longest path in hops)."""
+    if dist is None:
+        dist = shortest_paths(edges, origins, weight=weight,
+                              directed=directed, max_iter=max_iter)
+    pred = dist.select("oid", F.col("u").alias("cur"), "pred", "cost")
+    pred = pred.localCheckpoint()
+    frontier = (destinations.select("did", F.col("node").alias("cur"))
+                .crossJoin(origins.select("oid").distinct())
+                .join(pred, ["oid", "cur"], "inner")
+                .select("oid", "did", "cur", "pred",
+                        F.col("cost").alias("total")))
+    pieces = []
+    depth = 0
+    while depth < max_iter * 4:
+        step = frontier.where(F.col("pred").isNotNull())
+        step = step.localCheckpoint()
+        if step.isEmpty():
+            break
+        pieces.append(step.select(
+            "oid", "did", F.col("pred").alias("source"),
+            F.col("cur").alias("target"), F.lit(depth).alias("__back")))
+        frontier = (step.select("oid", "did", F.col("pred").alias("cur"))
+                    .join(pred, ["oid", "cur"], "inner")
+                    .select("oid", "did", "cur", "pred", F.lit(0.0).alias("total")))
+        depth += 1
+    if not pieces:
+        return (origins.select("oid").crossJoin(destinations.select("did"))
+                .withColumn("seq", F.lit(None).cast("long"))
+                .withColumn("source", F.lit(None).cast("string"))
+                .withColumn("target", F.lit(None).cast("string"))
+                .withColumn("cost", F.lit(None).cast("double"))
+                .limit(0))
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    from pyspark.sql import Window
+    w = Window.partitionBy("oid", "did").orderBy(F.col("__back").desc())
+    w_len = Window.partitionBy("oid", "did")
+    return (out
+            .withColumn("seq", F.row_number().over(w))
+            .drop("__back")
+            .join(edges.groupBy("source", "target")
+                  .agg(F.min(weight).alias("cost"))
+                  .unionByName(
+                      edges.groupBy(F.col("target").alias("source"),
+                                    F.col("source").alias("target"))
+                      .agg(F.min(weight).alias("cost")))
+                  .groupBy("source", "target").agg(F.min("cost").alias("cost")),
+                  ["source", "target"], "left")
+            .select("oid", "did", "seq", "source", "target", "cost"))
+
+
+def get_k_routes(edges: DataFrame, origins: DataFrame,
+                 destinations: DataFrame, k: int, *,
+                 weight: str = "length", directed: bool = False,
+                 max_iter: int = 50, penalty: float = 2.0) -> DataFrame:
+    """k alternative routes per od pair (reference get_k_routes,
+    `_get_route.py:160-257`): after each solve, the used edges of each
+    origin's routes get their weight multiplied by `penalty` FOR THAT
+    ORIGIN only, and the network is re-solved.  Returns route rows with a
+    `route_k` column (1 = shortest)."""
+    pens = None
+    outs = []
+    for ki in range(1, k + 1):
+        dist = shortest_paths(edges, origins, weight=weight,
+                              directed=directed, max_iter=max_iter,
+                              penalties=pens)
+        r = get_route(edges, origins, destinations, weight=weight,
+                      directed=directed, max_iter=max_iter, dist=dist) \
+            .withColumn("route_k", F.lit(ki))
+        r = r.localCheckpoint()
+        outs.append(r)
+        used = r.select("oid", F.col("source").alias("pu"),
+                        F.col("target").alias("pv")).distinct() \
+                .withColumn("mult", F.lit(float(penalty)))
+        used_rev = used.select("oid", F.col("pv").alias("pu"),
+                               F.col("pu").alias("pv"), "mult")
+        new_pens = used.unionByName(used_rev)
+        pens = (new_pens if pens is None else pens.unionByName(new_pens)) \
+            .groupBy("oid", "pu", "pv") \
+            .agg(F.max("mult").alias("mult")).localCheckpoint()
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def get_route_frequencies(edges: DataFrame, origins: DataFrame,
+                          destinations: DataFrame, *,
+                          weight: str = "length", directed: bool = False,
+                          max_iter: int = 50) -> DataFrame:
+    """Edge usage counts across all od shortest paths (reference
+    get_route_frequencies): (source, target, frequency)."""
+    r = get_route(edges, origins, destinations, weight=weight,
+                  directed=directed, max_iter=max_iter)
+    und = r.select(F.least("source", "target").alias("source"),
+                   F.greatest("source", "target").alias("target"))
+    return und.groupBy("source", "target").agg(
+        F.count("*").alias("frequency"))
+
+
+def make_directed_network(edges: DataFrame, *, direction_col: str = "oneway",
+                          direction_vals: tuple = ("B", "FT", "TF"),
+                          speed_col: str | None = None,
+                          minute_cols: tuple | None = None) -> DataFrame:
+    """Directed edge list from a two-way road layer
+    (make_directed_network, directednetwork.py:14-260):
+    'B' rows duplicate in both directions, 'FT' keep source->target,
+    'TF' reverse.  With speed_col (km/h), adds `minutes` =
+    length / speed * 60 / 1000; with minute_cols=(ft_col, tf_col), uses the
+    per-direction minute columns like the reference's Norwegian layers."""
+    b, ft, tf = direction_vals
+    d = F.upper(F.col(direction_col))
+    fwd = edges.where(d.isin([b, ft]))
+    rev = (edges.where(d.isin([b, tf]))
+           .withColumn("__s", F.col("source"))
+           .withColumn("source", F.col("target"))
+           .withColumn("target", F.col("__s")).drop("__s"))
+    if minute_cols is not None:
+        ftc, tfc = minute_cols
+        fwd = fwd.withColumn("minutes", F.col(ftc))
+        rev = rev.withColumn("minutes", F.col(tfc))
+    out = fwd.unionByName(rev)
+    if speed_col is not None:
+        out = out.withColumn(
+            "minutes", F.col("length") / F.col(speed_col) * 60.0 / 1000.0)
+    return out
+
+
+def close_network_holes(edges: DataFrame, max_distance: float, *,
+                        max_angle: float = 180.0,
+                        gridsize: float | None = None) -> DataFrame:
+    """Add connector edges between DEADENDS within max_distance
+    (close_network_holes, closing_network_holes.py:81-431).  Deadends =
+    nodes of degree 1; candidates from the kNN machinery; optional angle
+    filter vs the deadend's incident edge direction.  Returns the edge
+    layer with new rows flagged `hole_fill = true`."""
+    deg = (edges.select(F.col("source").alias("node"))
+           .union(edges.select(F.col("target").alias("node")))
+           .groupBy("node").agg(F.count("*").alias("deg")))
+    dead = deg.where("deg = 1").select("node")
+    # node coords parsed from the minted "x_y" ids (make_node_ids contract)
+    pts = dead.select(
+        "node",
+        F.expr("cast(split(node, '_')[0] as double)").alias("x"),
+        F.expr("cast(split(node, '_')[1] as double)").alias("y"))
+    from .knn import get_k_nearest_neighbors
+    g = gridsize or max(float(max_distance), 1.0)
+    nn = get_k_nearest_neighbors(pts, pts, 2, left_id="node",
+                                 right_id="node", gridsize=g)
+    cand = (nn.where((F.col("k") == 2) &
+                     (F.col("distance") <= float(max_distance)) &
+                     (F.col("node") < F.col("neighbor_index")))
+            .select(F.col("node").alias("source"),
+                    F.col("neighbor_index").alias("target"),
+                    F.col("distance").alias("length")))
+    if max_angle < 180.0:
+        # angle filter: direction of the new edge vs the deadend's incident
+        # edge; incident direction from the neighbor node of each deadend
+        inc = (edges.select(F.col("source").alias("node"),
+                            F.col("target").alias("other"))
+               .union(edges.select(F.col("target").alias("node"),
+                                   F.col("source").alias("other"))))
+        inc = inc.join(dead, "node", "left_semi")
+
+        def ang(nx, ny, ox, oy, tx, ty):
+            # angle between (node->target_new) and (other->node) extended
+            return (F.degrees(F.abs(
+                F.atan2(ty - ny, tx - nx) - F.atan2(ny - oy, nx - ox))))
+
+        c = cand.withColumn("sx", F.expr("cast(split(source,'_')[0] as double)")) \
+                .withColumn("sy", F.expr("cast(split(source,'_')[1] as double)")) \
+                .withColumn("tx", F.expr("cast(split(target,'_')[0] as double)")) \
+                .withColumn("ty", F.expr("cast(split(target,'_')[1] as double)"))
+        inc2 = inc.withColumn("ox", F.expr("cast(split(other,'_')[0] as double)")) \
+                  .withColumn("oy", F.expr("cast(split(other,'_')[1] as double)")) \
+                  .select(F.col("node").alias("source"), "ox", "oy")
+        c = c.join(inc2, "source", "left")
+        a = ang(F.col("sx"), F.col("sy"), F.col("ox"), F.col("oy"),
+                F.col("tx"), F.col("ty"))
+        a = F.least(a, F.lit(360.0) - a)
+        cand = c.where(F.col("ox").isNull() | (a <= float(max_angle))) \
+                .select("source", "target", "length").distinct()
+    new = cand.withColumn("hole_fill", F.lit(True))
+    old = edges.select("source", "target", "length") \
+               .withColumn("hole_fill", F.lit(False))
+    return old.unionByName(new)
+
+
+def traveling_salesman_problem(points_xy, *, return_to_start: bool = True):
+    """Approximate TSP tour over a small point set — reference
+    `traveling_salesman_problem` (traveling_salesman.py:12-161, networkx
+    christofides-style approximation on the driver).  Deterministic
+    nearest-neighbor construction + 2-opt improvement; input is a local
+    ndarray[n,2] exactly like the reference's in-memory usage."""
+    pts = np.asarray(points_xy, dtype=np.float64)
+    n = len(pts)
+    if n <= 2:
+        return list(range(n))
+    d = np.sqrt(((pts[:, None, :] - pts[None, :, :]) ** 2).sum(axis=2))
+    tour = [0]
+    unvisited = set(range(1, n))
+    while unvisited:
+        last = tour[-1]
+        nxt = min(unvisited, key=lambda j: (d[last, j], j))
+        tour.append(nxt)
+        unvisited.remove(nxt)
+    # 2-opt until no improvement (deterministic scan order)
+    improved = True
+    while improved:
+        improved = False
+        m = n if return_to_start else n - 1
+        for i in range(1, n - 1):
+            for j in range(i + 1, m):
+                a, b = tour[i - 1], tour[i]
+                c, e = tour[j], tour[(j + 1) % n]
+                if not return_to_start and (j + 1) == n:
+                    continue
+                if d[a, c] + d[b, e] + 1e-12 < d[a, b] + d[c, e]:
+                    tour[i:j + 1] = reversed(tour[i:j + 1])
+                    improved = True
+    return tour
 
 
 def service_area_nodes(edges: DataFrame, origins: DataFrame, breaks: float,

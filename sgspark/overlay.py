@@ -378,6 +378,8 @@ def clean_overlay(df1: DataFrame, df2: DataFrame, how: str = "intersection", *,
     """
     if how not in HOWS:
         raise ValueError(f"how must be one of {HOWS}")  # overlay.py:96-103
+    from .crs import require_same_crs
+    require_same_crs(df1, df2)  # overlay.py:109-110
 
     a1 = _attr_cols(df1, id1)
     a2 = _attr_cols(df2, id2)

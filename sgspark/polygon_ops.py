@@ -109,6 +109,229 @@ def close_all_holes(df: DataFrame, geometry: str = "geometry") -> DataFrame:
     return close_small_holes(df, float("inf"), geometry)
 
 
+def close_thin_holes(df: DataFrame, tolerance: float,
+                     geometry: str = "geometry") -> DataFrame:
+    """Fill interior rings THINNER than `tolerance`
+    (close_thin_holes, polygon_operations.py:1134-1322: a hole is thin iff
+    hole.buffer(-tolerance/2) is empty, i.e. max inscribed radius <
+    tolerance/2 — tested here with the deterministic grid-sample kernel,
+    pitch tolerance/8, see geom/measure.py for the approximation bound)."""
+    from .geom.measure import ring_max_inradius
+    pitch = float(tolerance) / 8.0
+    thr = float(tolerance) / 2.0
+
+    def fn(ga, pdf):
+        blobs = []
+        for g in range(len(ga)):
+            parts = []
+            p0, p1 = ga.geom_offsets[g], ga.geom_offsets[g + 1]
+            for p in range(p0, p1):
+                r0, r1 = ga.part_offsets[p], ga.part_offsets[p + 1]
+                rings = [ga.coords[ga.ring_offsets[r0]:ga.ring_offsets[r0 + 1]]]
+                for r in range(r0 + 1, r1):
+                    hole = ga.coords[ga.ring_offsets[r]:ga.ring_offsets[r + 1]]
+                    if ring_max_inradius(hole, pitch) >= thr:
+                        rings.append(hole)
+                parts.append(rings)
+            kind = POLYGON if len(parts) == 1 else 6
+            sub = from_rings([[parts[0]]] if kind == POLYGON else [parts],
+                             [kind])
+            blobs.append(to_wkb(sub)[0])
+        return blobs, {}
+
+    return _map_geoms(df, fn, geometry=geometry)
+
+
+def remove_spikes(df: DataFrame, tolerance: float,
+                  geometry: str = "geometry") -> DataFrame:
+    """Remove needle spikes from polygon rings: a vertex v between a and b
+    with |a-b| < tolerance but |a-v| or |b-v| >= tolerance is a spike tip
+    and is dropped (with the following near-duplicate vertex).  Iterates
+    per ring until stable (reference cleaning.py remove_spikes semantics
+    re-expressed vertex-wise)."""
+    tol = float(tolerance)
+
+    def clean_ring(ring: np.ndarray) -> np.ndarray:
+        r = ring[:-1]
+        changed = True
+        while changed and len(r) > 3:
+            changed = False
+            n = len(r)
+            keep = np.ones(n, dtype=bool)
+            for i in range(n):
+                a, v, b = r[(i - 1) % n], r[i], r[(i + 1) % n]
+                ab = float(np.hypot(*(a - b)))
+                if ab < tol and (np.hypot(*(a - v)) >= tol
+                                 or np.hypot(*(b - v)) >= tol):
+                    keep[i] = False
+                    changed = True
+                    break
+            r = r[keep]
+        return np.vstack([r, r[:1]])
+
+    def fn(ga, pdf):
+        blobs = []
+        for g in range(len(ga)):
+            parts = []
+            p0, p1 = ga.geom_offsets[g], ga.geom_offsets[g + 1]
+            for p in range(p0, p1):
+                r0, r1 = ga.part_offsets[p], ga.part_offsets[p + 1]
+                rings = [clean_ring(
+                    ga.coords[ga.ring_offsets[r]:ga.ring_offsets[r + 1]])
+                    for r in range(r0, r1)]
+                parts.append(rings)
+            kind = POLYGON if len(parts) == 1 else 6
+            sub = from_rings([[parts[0]]] if kind == POLYGON else [parts],
+                             [kind])
+            blobs.append(to_wkb(sub)[0])
+        return blobs, {}
+
+    return _map_geoms(df, fn, geometry=geometry)
+
+
+def get_rough_centerlines(df: DataFrame, *, id_col: str,
+                          n_points: int = 64,
+                          geometry: str = "geometry") -> DataFrame:
+    """Approximate centerline per polygon (get_rough_centerlines,
+    centerlines.py:76-372: points-in-polygon + traveling-salesman path).
+
+    Per-row kernel: deterministic interior grid sample (pitch from the
+    bbox so ~n_points land inside), thinned to the 'spine' by keeping each
+    sample's local maximum distance-to-boundary along the bbox long axis,
+    ordered by a greedy nearest-neighbor path (the TSP kernel without the
+    return edge).  Output: one LineString per polygon."""
+    from .geom.measure import dist_to_ring, points_in_ring
+    from .network import traveling_salesman_problem
+
+    def fn(ga, pdf):
+        blobs = []
+        bounds = ga.bounds()
+        for g in range(len(ga)):
+            rings = ga.rings_of_geom(g)
+            if not rings or len(rings[0]) < 4:
+                blobs.append(None)
+                continue
+            ext = rings[0]
+            x0, y0, x1, y1 = bounds[g]
+            span = max(x1 - x0, y1 - y0)
+            if span <= 0:
+                blobs.append(None)
+                continue
+            pitch = span / max(int(np.sqrt(n_points) * 2), 4)
+            xs = np.arange(x0 + pitch / 2, x1, pitch)
+            ys = np.arange(y0 + pitch / 2, y1, pitch)
+            PX = np.repeat(xs, len(ys))
+            PY = np.tile(ys, len(xs))
+            inside = points_in_ring(PX, PY, ext)
+            for h in rings[1:]:
+                inside &= ~points_in_ring(PX, PY, h)
+            if inside.sum() < 2:
+                blobs.append(None)
+                continue
+            px, py = PX[inside], PY[inside]
+            d = dist_to_ring(px, py, ext)
+            # spine: per long-axis slab keep the deepest sample
+            axis = px if (x1 - x0) >= (y1 - y0) else py
+            slab = np.round((axis - axis.min()) / pitch).astype(np.int64)
+            best = {}
+            for i in range(len(px)):
+                s = int(slab[i])
+                if s not in best or d[i] > d[best[s]]:
+                    best[s] = i
+            idx = [best[s] for s in sorted(best)]
+            spine = np.stack([px[idx], py[idx]], axis=1)
+            if len(spine) < 2:
+                blobs.append(None)
+                continue
+            order = traveling_salesman_problem(spine, return_to_start=False)
+            line = spine[order]
+            blobs.append(to_wkb(from_rings([[line]], [LINESTRING]))[0])
+        return blobs, {}
+
+    return _map_geoms(df.select(id_col, geometry), fn, geometry=geometry)
+
+
+def split_polygons_by_lines(polys: DataFrame, lines: DataFrame, *,
+                            id_col: str, line_id: str,
+                            gridsize: float = 2000.0) -> DataFrame:
+    """Cut polygons with straight line segments
+    (split_polygons_by_lines, polygon_operations.py:1402-1478).
+
+    Supported cut: a 2-point segment that FULLY CROSSES the polygon (both
+    endpoints strictly outside) splits it along the segment's supporting
+    line — the shapely.ops.split contract for simple crossings.  Segments
+    that end inside the polygon leave it uncut (like SplitOp).  Output: one
+    row per resulting part, polygon attributes preserved."""
+    from .geom.clip import clip_ring_convex, ensure_closed
+    pairs = sjoin_pairs(polys, lines, "intersects", left_id=id_col,
+                        right_id=line_id, gridsize=gridsize)
+    rid = pairs.columns[1]
+    pg = polys.select(F.col(id_col), F.col("geometry").alias("__pg"))
+    lg = lines.select(F.col(line_id).alias(rid),
+                      F.col("geometry").alias("__lg"))
+    withg = pairs.join(pg, id_col).join(lg, rid)
+    id_t = [f.dataType.simpleString() for f in polys.schema.fields
+            if f.name == id_col][0]
+    schema = f"{id_col} {id_t}, geometry binary"
+
+    def split_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pa = from_wkb(pdf["__pg"].iloc[:1].tolist())
+        parts = [[r for r in pa.rings_of_geom(0)]]
+        la = from_wkb(pdf["__lg"].tolist())
+        BIG = 1e9
+        for k in range(len(pdf)):
+            seg = la.rings_of_geom(k)[0]
+            if len(seg) != 2:
+                continue  # only straight segments cut (documented)
+            a, b = seg[0], seg[1]
+            d = b - a
+            ln = float(np.hypot(*d))
+            if ln == 0:
+                continue
+            u = d / ln
+            nrm = np.array([-u[1], u[0]])
+            halves = []
+            for sgn in (1.0, -1.0):
+                quad = np.array([a - BIG * u, a + BIG * u,
+                                 a + BIG * u + sgn * BIG * nrm,
+                                 a - BIG * u + sgn * BIG * nrm,
+                                 a - BIG * u])
+                halves.append(quad)
+            nxt = []
+            for rings in parts:
+                ext = ensure_closed(rings[0])
+                # full-crossing check: both segment endpoints outside bbox
+                # of the part along the cut (conservative: endpoints outside
+                # the part's bbox-expanded hull check via point-in-ring)
+                from .geom.measure import points_in_ring
+                inside = points_in_ring(np.array([a[0], b[0]]),
+                                        np.array([a[1], b[1]]), ext)
+                if inside.any():
+                    nxt.append(rings)
+                    continue
+                cut_any = False
+                for quad in halves:
+                    piece = clip_ring_convex(ext, quad)
+                    if piece is not None and abs(ring_area(piece)) > 1e-9:
+                        nxt.append([piece] + rings[1:])
+                        cut_any = True
+                if not cut_any:
+                    nxt.append(rings)
+            parts = nxt
+        rows = []
+        for rings in parts:
+            sub = from_rings([[rings]], [POLYGON])
+            rows.append((key[0], to_wkb(sub)[0]))
+        return pd.DataFrame(rows, columns=[id_col, "geometry"])
+
+    split = withg.groupBy(id_col).applyInPandas(split_group, schema=schema)
+    untouched = polys.join(pairs.select(id_col).distinct(), id_col,
+                           "left_anti").select(id_col, "geometry")
+    geo = split.unionByName(untouched)
+    return polys.drop("geometry", "minx", "miny", "maxx", "maxy") \
+                .join(geo, id_col, "inner")
+
+
 def get_gaps(df: DataFrame, *, id_col: str,
              gridsize: float = 2000.0) -> DataFrame:
     """Enclosed empty regions between polygons (get_gaps,

@@ -19,8 +19,25 @@ def get_spark(app: str = "sgspark", cores: int | None = None,
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
     if shuffle_partitions is None:
         shuffle_partitions = max(2 * cores, 8)
+    # SGSPARK_MASTER=local-cluster runs `cores` total cores as separate
+    # executor JVMs (own heaps/GC — the multi-executor proxy the scaling
+    # evidence uses); default stays single-JVM local[cores].
+    if os.environ.get("SGSPARK_MASTER") == "local-cluster":
+        exec_cores = int(os.environ.get("SGSPARK_EXEC_CORES", "4"))
+        n_exec = max(cores // exec_cores, 1)
+        mem_mb = int(os.environ.get("SGSPARK_EXEC_MEM_MB", "3072"))
+        master = f"local-cluster[{n_exec},{exec_cores},{mem_mb}]"
+    else:
+        master = f"local[{cores}]"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     return (
-        SparkSession.builder.master(f"local[{cores}]")
+        SparkSession.builder.master(master)
+        .config("spark.executor.memory",
+                os.environ.get("SGSPARK_EXEC_MEM_MB", "3072") + "m")
+        # executor python workers need the package on path in multi-JVM
+        # masters (the local stand-in for spark-submit --py-files)
+        .config("spark.executorEnv.PYTHONPATH",
+                repo + os.pathsep + os.environ.get("PYTHONPATH", ""))
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")

@@ -78,3 +78,55 @@ def stream_pip_join(points: DataFrame, zones: DataFrame, *,
             .where((F.abs(F.col("x") - F.col("cx")) <= F.col("r")) &
                    (F.abs(F.col("y") - F.col("cy")) <= F.col("r")))
             .drop("cell_key", "cx", "cy", "r"))
+
+
+def stream_sessionize(events: DataFrame, *, id_col: str = "doc_id",
+                      ts: str = "ts", gap: str = "30 minutes",
+                      watermark: str = "2 hours") -> DataFrame:
+    """CUSTOM STATEFUL streaming operator: session windows per key with an
+    inactivity gap, via the built-in session_window (state-store backed;
+    the applyInPandasWithState escape hatch below is for logic
+    session_window can't express).  Output: one row per closed session
+    (key, session_start, session_end, n_events)."""
+    return (events
+            .withWatermark(ts, watermark)
+            .groupBy(F.col(id_col), F.session_window(F.col(ts), gap))
+            .agg(F.count("*").alias("n_events"))
+            .select(id_col,
+                    F.col("session_window.start").alias("session_start"),
+                    F.col("session_window.end").alias("session_end"),
+                    "n_events"))
+
+
+def stream_running_extent(points: DataFrame, *, key: str = "zone_id"
+                          ) -> DataFrame:
+    """applyInPandasWithState custom stateful op: running bbox extent per
+    key over a point stream — the streaming twin of get_total_bounds.
+    State per key = 4 floats (bounded regardless of stream length); each
+    micro-batch emits the key's updated extent."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (f"{key} long, minx double, miny double, "
+                  "maxx double, maxy double")
+    state_schema = "minx double, miny double, maxx double, maxy double"
+
+    def update(k, pdfs, state):
+        mnx = mny = float("inf")
+        mxx = mxy = float("-inf")
+        if state.exists:
+            mnx, mny, mxx, mxy = state.get
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            mnx = min(mnx, float(pdf["x"].min()))
+            mny = min(mny, float(pdf["y"].min()))
+            mxx = max(mxx, float(pdf["x"].max()))
+            mxy = max(mxy, float(pdf["y"].max()))
+        state.update((mnx, mny, mxx, mxy))
+        yield pd.DataFrame({key: [k[0]], "minx": [mnx], "miny": [mny],
+                            "maxx": [mxx], "maxy": [mxy]})
+
+    return points.groupBy(key).applyInPandasWithState(
+        update, outputStructType=out_schema, stateStructType=state_schema,
+        outputMode="update", timeoutConf=GroupStateTimeout.NoTimeout)

@@ -206,6 +206,136 @@ def merge_tiles(tiles: DataFrame, by: list[str], how: str = "mean"
     return tiles.groupBy(*group).applyInPandas(merge, schema=schema)
 
 
+_BAND_FNS = {
+    "sqrt": np.sqrt, "log1p": np.log1p, "abs": np.abs, "neg": np.negative,
+    "square": np.square, "clip01": lambda v: np.clip(v, 0.0, 1.0),
+}
+
+
+def band_apply(tiles: DataFrame, fn: str, scale: float = 1.0,
+               offset: float = 0.0) -> DataFrame:
+    """Element-wise transform of every pixel — reference `Band.apply` /
+    `Band.buffer(array)` family (image_collection.py:1268-1300).  `fn` is a
+    NAMED numpy kernel (no pickled lambdas shipped to executors — the same
+    pluggable-kernel seam as the runners, SURVEY §2.12), applied as
+    fn(values) * scale + offset."""
+    if fn not in _BAND_FNS:
+        raise ValueError(f"unknown band fn {fn!r}; one of {list(_BAND_FNS)}")
+    f = _BAND_FNS[fn]
+    schema = ", ".join(f"`{x.name}` {x.dataType.simpleString()}"
+                       for x in tiles.schema.fields)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = pdf.copy()
+            out["values"] = [
+                (f(np.asarray(v, dtype=np.float64)) * scale + offset).tolist()
+                for v in pdf["values"]]
+            yield out
+
+    return tiles.mapInPandas(kernel, schema=schema)
+
+
+def band_clip(tiles: DataFrame, bbox: tuple) -> DataFrame:
+    """Windowed read — reference `Band.clip`/`Band.load`
+    (image_collection.py:1029-1198): tiles outside the bbox are PRUNED at
+    the scan (JVM predicate on tile extents); intersecting tiles are
+    cropped to the window (pixel-exact) in one Arrow pass."""
+    x0, y0, x1, y1 = [float(v) for v in bbox]
+    t = tiles.where((F.col("x0") < x1) & (F.col("x0") + F.col("nx") * F.col("res") > x0) &
+                    (F.col("y0") < y1) & (F.col("y0") + F.col("ny") * F.col("res") > y0))
+    schema = ", ".join(f"`{x.name}` {x.dataType.simpleString()}"
+                       for x in tiles.schema.fields)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for i in range(len(pdf)):
+                n = int(pdf["nx"].iloc[i])
+                m = int(pdf["ny"].iloc[i])
+                res = float(pdf["res"].iloc[i])
+                tx0 = float(pdf["x0"].iloc[i])
+                ty0 = float(pdf["y0"].iloc[i])
+                v = np.asarray(pdf["values"].iloc[i],
+                               dtype=np.float64).reshape(m, n)
+                c0 = max(int(np.floor((x0 - tx0) / res)), 0)
+                c1 = min(int(np.ceil((x1 - tx0) / res)), n)
+                r0 = max(int(np.floor((y0 - ty0) / res)), 0)
+                r1 = min(int(np.ceil((y1 - ty0) / res)), m)
+                if c1 <= c0 or r1 <= r0:
+                    continue
+                sub = v[r0:r1, c0:c1]
+                rows.append((pdf["tile_id"].iloc[i], tx0 + c0 * res,
+                             ty0 + r0 * res, res, c1 - c0, r1 - r0,
+                             sub.ravel().tolist()))
+            if rows:
+                yield pd.DataFrame(rows, columns=["tile_id", "x0", "y0",
+                                                  "res", "nx", "ny",
+                                                  "values"])
+
+    return t.mapInPandas(kernel, schema=schema)
+
+
+def band_sample(tiles: DataFrame, n_per_tile: int, seed: int = 42
+                ) -> DataFrame:
+    """Deterministic pixel sample per tile — reference `Band.sample`
+    (image_collection.py:1268-1300).  Sampling uses a splitmix-style hash
+    of (tile_id, k) so results are partitioning-independent."""
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for i in range(len(pdf)):
+                n = int(pdf["nx"].iloc[i])
+                m = int(pdf["ny"].iloc[i])
+                res = float(pdf["res"].iloc[i])
+                tx0 = float(pdf["x0"].iloc[i])
+                ty0 = float(pdf["y0"].iloc[i])
+                vals = np.asarray(pdf["values"].iloc[i], dtype=np.float64)
+                tid = pdf["tile_id"].iloc[i]
+                h = np.uint64(hash(tid) & 0x7FFFFFFF) + np.uint64(seed)
+                k = np.arange(min(n_per_tile, n * m), dtype=np.uint64)
+                z = (h + k) * np.uint64(0x9E3779B97F4A7C15)
+                z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+                idx = (z % np.uint64(n * m)).astype(np.int64)
+                yield pd.DataFrame({
+                    "tile_id": tid,
+                    "x": tx0 + (idx % n + 0.5) * res,
+                    "y": ty0 + (idx // n + 0.5) * res,
+                    "value": vals[idx]})
+
+    return tiles.mapInPandas(
+        kernel, schema="tile_id string, x double, y double, value double")
+
+
+def pixelwise(bands: dict[str, DataFrame], expr: str) -> DataFrame:
+    """Pixel-aligned computation over multiple band tables — reference
+    `PixelwiseResults` (image_collection.py:153-268).  Bands join on
+    (tile_id, x0, y0, res, nx, ny); `expr` is a SQL expression over
+    `zip_with`-style element arithmetic expressed with named band columns,
+    evaluated JVM-side with higher-order functions.
+
+    Example: ndvi = pixelwise({'nir': nir, 'red': red},
+        'zip_with(nir, red, (a, b) -> (a - b) / nullif(a + b, 0)) ')."""
+    keys = ["tile_id", "x0", "y0", "res", "nx", "ny"]
+    out = None
+    for name, df in bands.items():
+        d = df.select(*keys, F.col("values").alias(name))
+        out = d if out is None else out.join(d, keys)
+    return out.select(*keys, F.expr(expr).alias("values"))
+
+
+def ndvi(nir: DataFrame, red: DataFrame) -> DataFrame:
+    """NDVI index tiles (reference image_collection.py:1029-1300 indices):
+    (nir - red) / (nir + red), JVM-side zip_with, 0 where the sum is 0."""
+    return pixelwise(
+        {"nir": nir, "red": red},
+        "zip_with(nir, red, (a, b) -> CASE WHEN a + b = 0 THEN 0.0D "
+        "ELSE (a - b) / (a + b) END)")
+
+
 def raster_to_points(tiles: DataFrame) -> DataFrame:
     """`Band.to_geopandas` analogue: one row per pixel (x, y, value)."""
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
