@@ -46,6 +46,135 @@ def df_from_xy(spark: SparkSession, xs, ys, ids=None) -> DataFrame:
     return spark.createDataFrame(pdf)
 
 
+def to_gdf(spark: SparkSession, data, ids=None) -> DataFrame:
+    """Universal constructor (reference to_gdf, conversion.py:255-528):
+    accepts a list of WKT strings, WKB bytes, (x, y) tuples, a dict
+    {id: wkt}, or a GeoJSON-ish dict list ({'type','coordinates'}).
+    Returns (row_id, geometry, minx..maxy)."""
+    if isinstance(data, dict):
+        ids = list(data.keys())
+        data = list(data.values())
+    data = list(data)
+    if not data:
+        raise ValueError("to_gdf: empty input")
+    first = data[0]
+    if isinstance(first, str):
+        return df_from_wkt(spark, data, ids)
+    if isinstance(first, (bytes, bytearray)):
+        from .io import with_bounds
+        pdf = pd.DataFrame({"row_id": ids if ids is not None
+                            else list(range(len(data))),
+                            "geometry": data})
+        return with_bounds(spark.createDataFrame(pdf))
+    if isinstance(first, dict) and "type" in first:
+        wkts = [_geojson_to_wkt(d) for d in data]
+        return df_from_wkt(spark, wkts, ids)
+    if hasattr(first, "__len__") and len(first) == 2:
+        xs = [float(p[0]) for p in data]
+        ys = [float(p[1]) for p in data]
+        return df_from_xy(spark, xs, ys, ids)
+    raise TypeError(f"to_gdf: unsupported element type {type(first)}")
+
+
+def _geojson_to_wkt(d: dict) -> str:
+    t = d["type"].upper()
+    c = d["coordinates"]
+    if t == "POINT":
+        return f"POINT ({c[0]} {c[1]})"
+    if t == "LINESTRING":
+        pts = ", ".join(f"{p[0]} {p[1]}" for p in c)
+        return f"LINESTRING ({pts})"
+    if t == "POLYGON":
+        rings = ", ".join(
+            "(" + ", ".join(f"{p[0]} {p[1]}" for p in ring) + ")"
+            for ring in c)
+        return f"POLYGON ({rings})"
+    raise ValueError(f"unsupported GeoJSON type {t}")
+
+
+def bounds_to_points(df: DataFrame) -> DataFrame:
+    """Replace geometry by the 4-corner MULTIPOINT of its bbox
+    (bounds_to_points, bounds.py:653-679)."""
+    from .geom.array import MULTIPOINT
+    schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                       for f in df.schema.fields)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            parts_all = []
+            for x0, y0, x1, y1 in zip(pdf.minx, pdf.miny, pdf.maxx,
+                                      pdf.maxy):
+                parts_all.append([np.array([[x0, y0]]), np.array([[x1, y0]]),
+                                  np.array([[x1, y1]]), np.array([[x0, y1]])])
+            ga = from_rings(parts_all, [MULTIPOINT] * len(pdf))
+            out = pdf.copy()
+            out["geometry"] = to_wkb(ga)
+            yield out
+
+    return df.mapInPandas(kernel, schema=schema)
+
+
+def get_line_segments(df: DataFrame, geometry: str = "geometry"
+                      ) -> DataFrame:
+    """Explode every LineString into its 2-point segments (reference
+    get_line_segments helper); adds `segment_idx`."""
+    from .geom.array import LINESTRING
+    schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                       for f in df.schema.fields) + ", segment_idx int"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ga = from_wkb(pdf[geometry].tolist())
+            src, blobs, sidx = [], [], []
+            for g in range(len(ga)):
+                for chain in ga.rings_of_geom(g):
+                    for i in range(len(chain) - 1):
+                        src.append(g)
+                        blobs.append(to_wkb(from_rings(
+                            [[chain[i:i + 2]]], [LINESTRING]))[0])
+                        sidx.append(i)
+            if not src:
+                continue
+            out = pdf.iloc[src].copy()
+            out[geometry] = blobs
+            out["segment_idx"] = sidx
+            yield out
+
+    return df.mapInPandas(kernel, schema=schema)
+
+
+def make_lines_between_points(a: DataFrame, b: DataFrame, *,
+                              a_id: str, b_id: str) -> DataFrame:
+    """LineStrings connecting paired points of two layers joined on id
+    (reference make_lines_between_points helper): a and b each carry
+    point geometry columns; pairs matched on a_id == b_id."""
+    from .geom.array import LINESTRING
+    l = a.select(F.col(a_id).alias("__id"), F.col("minx").alias("__ax"),
+                 F.col("miny").alias("__ay"))
+    r = b.select(F.col(b_id).alias("__id"), F.col("minx").alias("__bx"),
+                 F.col("miny").alias("__by"))
+    j = l.join(r, "__id")
+    id_t = [f.dataType.simpleString() for f in a.schema.fields
+            if f.name == a_id][0]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            blobs = []
+            for i in range(len(pdf)):
+                chain = np.array([[pdf["__ax"].iloc[i], pdf["__ay"].iloc[i]],
+                                  [pdf["__bx"].iloc[i], pdf["__by"].iloc[i]]])
+                blobs.append(to_wkb(from_rings([[chain]], [LINESTRING]))[0])
+            yield pd.DataFrame({a_id: pdf["__id"], "geometry": blobs})
+
+    return j.mapInPandas(kernel, schema=f"{a_id} {id_t}, geometry binary")
+
+
 def _u01(i: np.ndarray, field: int, seed: int) -> np.ndarray:
     base = i.astype(np.uint64) * np.uint64(2654435761) + \
         np.uint64((field * 0x9E3779B97F4A7C15 + seed) % (1 << 64))

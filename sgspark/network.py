@@ -375,8 +375,7 @@ def service_area_nodes(edges: DataFrame, origins: DataFrame, breaks: float,
                        *, weight: str = "length", directed: bool = False,
                        max_iter: int = 50) -> DataFrame:
     """Nodes reachable within `breaks` cost from each origin
-    (service_area semantics over nodes, networkanalysis.py:942-1198;
-    edge-geometry splitting of precice_service_area is future work)."""
+    (service_area semantics over nodes, networkanalysis.py:942-1198)."""
     dests_all = edges.select(F.col("source").alias("node")).union(
         edges.select(F.col("target").alias("node"))).distinct() \
         .withColumn("did", F.col("node"))
@@ -384,3 +383,116 @@ def service_area_nodes(edges: DataFrame, origins: DataFrame, breaks: float,
                         directed=directed, max_iter=max_iter)
     return od.where(F.col("cost") <= breaks).select(
         "oid", F.col("did").alias("node"), "cost")
+
+
+def service_area_edges(edges: DataFrame, origins: DataFrame, breaks: float,
+                       *, weight: str = "length", directed: bool = False,
+                       max_iter: int = 50,
+                       geometry: str | None = None) -> DataFrame:
+    """PRECISE service area (precice_service_area, _service_area.py:19-158):
+    every edge (or the PARTIAL piece of it) reachable within `breaks` cost.
+
+    An edge (u, v, w) contributes, per origin, the fraction
+    min(1, (breaks - cost(u)) / w) from its u end (and symmetrically from
+    v on undirected networks — the union of both reaches).  Output:
+    (oid, source, target, frac_from_source, frac_from_target[, geometry of
+    the reachable piece(s) when a geometry column is given])."""
+    dist = shortest_paths(edges, origins, weight=weight, directed=directed,
+                          max_iter=max_iter)
+    du = dist.select("oid", F.col("u").alias("source"),
+                     F.col("cost").alias("__cu"))
+    dv = dist.select("oid", F.col("u").alias("target"),
+                     F.col("cost").alias("__cv"))
+    e = edges.join(du, "source", "inner")
+    e = e.join(dv, ["oid", "target"], "left")
+    w = F.col(weight)
+    frac_u = F.greatest(F.least((F.lit(float(breaks)) - F.col("__cu")) / w,
+                                F.lit(1.0)), F.lit(0.0))
+    frac_v = F.greatest(F.least((F.lit(float(breaks)) -
+                                 F.coalesce("__cv", F.lit(float("inf"))))
+                                / w, F.lit(1.0)), F.lit(0.0))
+    out = (e.withColumn("frac_from_source", frac_u)
+           .withColumn("frac_from_target",
+                       frac_v if not directed else F.lit(0.0))
+           .where((F.col("frac_from_source") > 0) |
+                  (F.col("frac_from_target") > 0))
+           .drop("__cu", "__cv"))
+    if geometry is None:
+        return out.select("oid", "source", "target",
+                          "frac_from_source", "frac_from_target")
+
+    from .geom.wkb import from_wkb, to_wkb
+    from .geom.array import LINESTRING, from_rings
+    from .line_ops import _cut_chain
+
+    oid_t = dict((f.name, f.dataType.simpleString())
+                 for f in origins.schema.fields)["oid"]
+    cols = (f"oid {oid_t}, source string, target string, "
+            f"frac_from_source double, frac_from_target double, "
+            f"geometry binary")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ga = from_wkb(pdf[geometry].tolist())
+            lens = ga.length()
+            rows = []
+            for g in range(len(pdf)):
+                fu = float(pdf["frac_from_source"].iloc[g])
+                fv = float(pdf["frac_from_target"].iloc[g])
+                chain = ga.rings_of_geom(g)[0]
+                if fu + fv >= 1.0:  # fully covered
+                    pieces = [chain]
+                else:
+                    pieces = []
+                    if fu > 0:
+                        pieces.append(_cut_chain(
+                            chain, max(fu * float(lens[g]), 1e-12))[0])
+                    if fv > 0:
+                        pieces.append(_cut_chain(
+                            chain[::-1], max(fv * float(lens[g]), 1e-12))[0])
+                for p in pieces:
+                    if len(p) >= 2:
+                        rows.append((pdf["oid"].iloc[g],
+                                     pdf["source"].iloc[g],
+                                     pdf["target"].iloc[g], fu, fv,
+                                     to_wkb(from_rings([[p]],
+                                                       [LINESTRING]))[0]))
+            if rows:
+                yield pd.DataFrame(rows, columns=[
+                    "oid", "source", "target", "frac_from_source",
+                    "frac_from_target", "geometry"])
+
+    return out.mapInPandas(kernel, schema=cols)
+
+
+class NetworkAnalysisRules:
+    """Rule/config object (networkanalysisrules.py:17-301): weight column
+    validation + a deterministic rules hash used to invalidate cached
+    graphs (the reference's lazy-rebuild seam, networkanalysis.py:
+    1546-1604)."""
+
+    def __init__(self, weight: str = "length", directed: bool = False,
+                 search_tolerance: float = 250.0, split_lines: bool = False):
+        self.weight = weight
+        self.directed = directed
+        self.search_tolerance = float(search_tolerance)
+        self.split_lines = bool(split_lines)
+
+    def validate(self, edges: DataFrame) -> None:
+        if self.weight not in edges.columns:
+            raise ValueError(
+                f"weight column {self.weight!r} missing; edges have "
+                f"{edges.columns} — run make_node_ids/make_directed_network "
+                "first")
+        t = dict((f.name, f.dataType.simpleString())
+                 for f in edges.schema.fields)[self.weight]
+        if t not in ("double", "float", "int", "bigint", "decimal(10,0)"):
+            raise ValueError(f"weight column must be numeric, got {t}")
+
+    def rules_hash(self) -> str:
+        import hashlib
+        key = (f"{self.weight}|{self.directed}|{self.search_tolerance}|"
+               f"{self.split_lines}")
+        return hashlib.md5(key.encode()).hexdigest()

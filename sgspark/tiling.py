@@ -184,6 +184,31 @@ def gridloop(df: DataFrame, func: Callable[[pd.DataFrame], pd.DataFrame],
     return out.drop("__cell_key")
 
 
+class Gridlooper:
+    """Configured gridloop wrapper (reference Gridlooper, bounds.py:24-183):
+    holds (gridsize, gridbuffer, out_schema) and runs any func per cell;
+    `concat=True` (the default here — DataFrames ARE the concat) returns
+    one DataFrame; geoms=True routes to gridloop_geoms."""
+
+    def __init__(self, gridsize: float, out_schema: str,
+                 gridbuffer: float = 0.0, geoms: bool = False,
+                 x: str = "x", y: str = "y"):
+        self.gridsize = float(gridsize)
+        self.gridbuffer = float(gridbuffer)
+        self.out_schema = out_schema
+        self.geoms = geoms
+        self.x, self.y = x, y
+
+    def run(self, df: DataFrame,
+            func: Callable[[pd.DataFrame], pd.DataFrame]) -> DataFrame:
+        if self.geoms:
+            return gridloop_geoms(df, func, self.out_schema, self.gridsize,
+                                  gridbuffer=self.gridbuffer,
+                                  out_x=self.x, out_y=self.y)
+        return gridloop(df, func, self.out_schema, self.gridsize,
+                        x=self.x, y=self.y, gridbuffer=self.gridbuffer)
+
+
 def gridloop_geoms(df: DataFrame, func: Callable[[pd.DataFrame], pd.DataFrame],
                    out_schema: str, gridsize: float,
                    gridbuffer: float = 0.0,

@@ -217,3 +217,96 @@ def test_gridloop_geoms_invariance(spark, docs500, zones50):
     vals = list(outs.values())
     assert vals[0] == vals[1] == vals[2]
     assert len(vals[0]) == geo.count()
+
+
+def test_to_gdf_universal(spark):
+    from sgspark.conversion import to_gdf
+    # WKT list
+    a = to_gdf(spark, ["POINT (1 2)", "POINT (3 4)"])
+    assert a.count() == 2
+    # xy tuples
+    b = to_gdf(spark, [(1.0, 2.0), (3.0, 4.0)])
+    assert sorted(r.x for r in b.collect()) == [1.0, 3.0]
+    # dict id -> wkt
+    c = to_gdf(spark, {"k1": "POINT (5 6)"})
+    assert c.first().row_id == "k1"
+    # WKB bytes
+    blob = a.first().geometry
+    d = to_gdf(spark, [blob])
+    assert d.first().minx == a.first().minx
+    # GeoJSON-ish
+    e = to_gdf(spark, [{"type": "Polygon",
+                        "coordinates": [[[0, 0], [4, 0], [4, 4], [0, 4],
+                                         [0, 0]]]}])
+    assert e.first().maxx == 4.0
+
+
+def test_bounds_to_points_and_segments(spark):
+    from sgspark.conversion import bounds_to_points, get_line_segments
+    from sgspark.io import wkt_to_wkb_df
+    from sgspark.geom.wkb import from_wkb
+    df = wkt_to_wkb_df(spark.createDataFrame(pd.DataFrame({
+        "pid": [1], "geometry_wkt": ["POLYGON ((0 0, 8 0, 8 6, 0 6, 0 0))"]})))
+    mp = bounds_to_points(df).first()
+    ga = from_wkb([mp.geometry])
+    assert ga.coords_count_per_geom()[0] == 4
+    lines = wkt_to_wkb_df(spark.createDataFrame(pd.DataFrame({
+        "lid": [1], "geometry_wkt": ["LINESTRING (0 0, 1 0, 2 0, 3 0)"]})))
+    segs = get_line_segments(lines).collect()
+    assert [s.segment_idx for s in segs] == [0, 1, 2]
+
+
+def test_make_lines_between_points(spark):
+    from sgspark.conversion import df_from_xy, make_lines_between_points
+    from sgspark.geom.wkb import from_wkb
+    a = df_from_xy(spark, [0.0, 10.0], [0.0, 0.0], ids=[1, 2])
+    b = df_from_xy(spark, [3.0, 10.0], [4.0, 5.0], ids=[1, 2])
+    out = make_lines_between_points(a, b, a_id="row_id", b_id="row_id")
+    ga = from_wkb([r.geometry for r in out.orderBy("row_id").collect()])
+    assert sorted(np.round(ga.length(), 6)) == [5.0, 5.0]
+
+
+def test_service_area_edges(spark):
+    from sgspark.network import service_area_edges
+    edges = spark.createDataFrame(pd.DataFrame({
+        "source": ["A", "B"], "target": ["B", "C"],
+        "length": [10.0, 10.0]}))
+    orig = spark.createDataFrame(pd.DataFrame({"oid": ["o"], "node": ["A"]}))
+    out = service_area_edges(edges, orig, 15.0).collect()
+    d = {(r.source, r.target): (round(r.frac_from_source, 6),
+                                round(r.frac_from_target, 6)) for r in out}
+    assert d[("A", "B")] == (1.0, 0.5)   # fully within + back-reach from B
+    assert d[("B", "C")] == (0.5, 0.0)   # half of the second edge
+
+
+def test_network_rules(spark):
+    from sgspark.network import NetworkAnalysisRules
+    edges = spark.createDataFrame(pd.DataFrame({
+        "source": ["A"], "target": ["B"], "length": [1.0]}))
+    r = NetworkAnalysisRules(weight="length")
+    r.validate(edges)
+    assert r.rules_hash() == NetworkAnalysisRules(weight="length").rules_hash()
+    assert r.rules_hash() != NetworkAnalysisRules(weight="minutes",
+                                                  ).rules_hash()
+    with pytest.raises(ValueError, match="missing"):
+        NetworkAnalysisRules(weight="nope").validate(edges)
+
+
+def test_gridlooper_class(spark, docs500):
+    from sgspark.tiling import Gridlooper
+    from sgspark.io import extract_geometries
+    pts = extract_geometries(docs500).where(
+        "geom_kind = 'point' AND span_pos = 1").selectExpr(
+        "doc_index AS doc_id", "minx AS x", "miny AS y")
+
+    def per_cell(cell: pd.DataFrame) -> pd.DataFrame:
+        own = cell[~cell["__halo"]]
+        if len(own) == 0:
+            return pd.DataFrame({"x": [], "y": [], "n": []})
+        return pd.DataFrame({"x": [float(own.x.min())],
+                             "y": [float(own.y.min())],
+                             "n": [len(own)]})
+
+    gl = Gridlooper(1000.0, "x double, y double, n long")
+    out = gl.run(pts, per_cell)
+    assert out.agg(F.sum("n")).first()[0] == pts.count()
