@@ -185,6 +185,41 @@ def split_lines_by_nearest_point(lines: DataFrame, points: DataFrame, *,
     return src.mapInPandas(kernel, schema=schema)
 
 
+def extend_lines(df: DataFrame, distance: float, *,
+                 geometry: str = "geometry") -> DataFrame:
+    """Extend each LineString by `distance` beyond both endpoints along the
+    end-segment directions (reference cleaning/`extend_lines` helper used
+    by split_by_neighbors)."""
+    d = float(distance)
+    schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                       for f in df.schema.fields)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ga = from_wkb(pdf[geometry].tolist())
+            blobs = []
+            for g in range(len(ga)):
+                c = ga.rings_of_geom(g)[0].astype(float)
+                if len(c) >= 2:
+                    u0 = c[0] - c[1]
+                    n0 = np.hypot(*u0)
+                    u1 = c[-1] - c[-2]
+                    n1 = np.hypot(*u1)
+                    c = c.copy()
+                    if n0 > 0:
+                        c[0] = c[0] + u0 / n0 * d
+                    if n1 > 0:
+                        c[-1] = c[-1] + u1 / n1 * d
+                blobs.append(to_wkb(from_rings([[c]], [LINESTRING]))[0])
+            out = pdf.copy()
+            out[geometry] = blobs
+            yield out
+
+    return df.mapInPandas(kernel, schema=schema)
+
+
 def cut_lines_once(df: DataFrame, fraction: float = 0.5, *,
                    geometry: str = "geometry") -> DataFrame:
     """Split each line once at `fraction` of its length

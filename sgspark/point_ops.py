@@ -144,6 +144,121 @@ def snap_within_distance(points: DataFrame, targets: DataFrame,
     return src.mapInPandas(replace, schema=", ".join(fields))
 
 
+def shortest_lines(points: DataFrame, targets: DataFrame, *, left_id: str,
+                   right_id: str, max_distance: float,
+                   gridsize: float = 2000.0) -> DataFrame:
+    """LineString from each point to the nearest location on its nearest
+    target within max_distance (reference `shortest_line`,
+    _od_cost_matrix.py:52 + snapping helpers).  Output:
+    (left_id, geometry LineString, shortest_distance)."""
+    l = points.select(F.col(left_id).alias("__lid"),
+                      F.col("geometry").alias("__lg"),
+                      "minx", "miny", "maxx", "maxy")
+    l = _cover_cells(l, gridsize, expand=float(max_distance), prefix="l_") \
+        .select("__lid", "__lg", "cell_key")
+    r = targets.select(F.col(right_id).alias("__rid"),
+                       F.col("geometry").alias("__rg"),
+                       "minx", "miny", "maxx", "maxy")
+    r = _cover_cells(r, gridsize, prefix="r_") \
+        .select("__rid", "__rg", "cell_key")
+    cand = l.join(r, "cell_key")
+    lid_t = [f.dataType.simpleString() for f in points.schema.fields
+             if f.name == left_id][0]
+    schema = (f"{left_id} {lid_t}, __d double, __sx double, __sy double, "
+              "__nx double, __ny double")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            lcodes, lu = pd.factorize(pdf["__lg"], use_na_sentinel=False)
+            rcodes, ru = pd.factorize(pdf["__rg"], use_na_sentinel=False)
+            la = from_wkb(list(lu))
+            ra = from_wkb(list(ru))
+            li = np.asarray(lcodes, dtype=np.int64)
+            d, nx, ny = _nearest_on_pairs(la, ra, li,
+                                          np.asarray(rcodes, dtype=np.int64))
+            starts = la.coords_start_per_geom()
+            sx = la.coords[starts[li], 0]
+            sy = la.coords[starts[li], 1]
+            ok = d <= float(max_distance)
+            yield pd.DataFrame({left_id: pdf["__lid"].to_numpy()[ok],
+                                "__d": d[ok], "__sx": sx[ok], "__sy": sy[ok],
+                                "__nx": nx[ok], "__ny": ny[ok]})
+
+    near = cand.mapInPandas(kernel, schema=schema)
+    w = Window.partitionBy(left_id).orderBy(F.col("__d").asc(),
+                                            F.col("__nx"), F.col("__ny"))
+    best = near.withColumn("__rk", F.row_number().over(w)) \
+               .where("__rk = 1").drop("__rk")
+
+    def mk_lines(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .geom.array import LINESTRING, from_rings
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            blobs = []
+            for i in range(len(pdf)):
+                chain = np.array(
+                    [[pdf["__sx"].iloc[i], pdf["__sy"].iloc[i]],
+                     [pdf["__nx"].iloc[i], pdf["__ny"].iloc[i]]])
+                blobs.append(to_wkb(from_rings([[chain]], [LINESTRING]))[0])
+            yield pd.DataFrame({left_id: pdf[left_id],
+                                "geometry": blobs,
+                                "shortest_distance": pdf["__d"]})
+
+    return best.mapInPandas(
+        mk_lines,
+        schema=f"{left_id} {lid_t}, geometry binary, "
+               "shortest_distance double")
+
+
+def snap_vertices(df: DataFrame, targets: DataFrame, tolerance: float, *,
+                  left_id: str, right_id: str,
+                  gridsize: float = 2000.0) -> DataFrame:
+    """Shapely-`snap` analogue: move each vertex of df's geometries to the
+    nearest TARGET VERTEX within tolerance (topology alignment).  Pairs
+    from a dwithin cell join; per-left batched vertex match."""
+    from .joins import sjoin_pairs
+    pairs = sjoin_pairs(df, targets, "dwithin", left_id=left_id,
+                        right_id=right_id, distance=float(tolerance),
+                        gridsize=gridsize)
+    rid = pairs.columns[1]
+    lg = df.select(F.col(left_id), F.col("geometry").alias("__lg"))
+    rg = targets.select(F.col(right_id).alias(rid),
+                        F.col("geometry").alias("__rg"))
+    withg = pairs.join(lg, left_id).join(rg, rid) \
+        .groupBy(left_id).agg(F.first("__lg").alias("__lg"),
+                              F.collect_list("__rg").alias("__rgs"))
+    lid_t = [f.dataType.simpleString() for f in df.schema.fields
+             if f.name == left_id][0]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            blobs = []
+            for i in range(len(pdf)):
+                ga = from_wkb([pdf["__lg"].iloc[i]])
+                ta = from_wkb(list(pdf["__rgs"].iloc[i]))
+                tv = ta.coords
+                c = ga.coords
+                if len(tv) and len(c):
+                    d2 = ((c[:, None, :] - tv[None, :, :]) ** 2).sum(axis=2)
+                    j = np.argmin(d2, axis=1)
+                    hit = d2[np.arange(len(c)), j] <= float(tolerance) ** 2
+                    c = np.where(hit[:, None], tv[j], c)
+                    ga.coords = c
+                blobs.append(to_wkb(ga)[0])
+            yield pd.DataFrame({left_id: pdf[left_id], "geometry": blobs})
+
+    snapped = withg.mapInPandas(
+        kernel, schema=f"{left_id} {lid_t}, geometry binary")
+    untouched = df.join(pairs.select(left_id).distinct(), left_id,
+                        "left_anti").select(left_id, "geometry")
+    return snapped.unionByName(untouched)
+
+
 def snap_all(points: DataFrame, targets: DataFrame, *, left_id: str,
              right_id: str, gridsize: float = 2000.0,
              distance_col: str = "snap_distance",

@@ -189,6 +189,148 @@ def remove_spikes(df: DataFrame, tolerance: float,
     return _map_geoms(df, fn, geometry=geometry)
 
 
+def _dp_simplify(chain: np.ndarray, tol: float) -> np.ndarray:
+    """Douglas–Peucker on one open/closed chain (iterative stack)."""
+    n = len(chain)
+    if n <= 2:
+        return chain
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[n - 1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j <= i + 1:
+            continue
+        a, b = chain[i], chain[j]
+        d = b - a
+        ln = np.hypot(*d)
+        seg = chain[i + 1:j]
+        if ln == 0:
+            dist = np.hypot(*(seg - a).T)
+        else:
+            dist = np.abs(d[0] * (seg[:, 1] - a[1])
+                          - d[1] * (seg[:, 0] - a[0])) / ln
+        k = int(np.argmax(dist))
+        if dist[k] > tol:
+            keep[i + 1 + k] = True
+            stack.append((i, i + 1 + k))
+            stack.append((i + 1 + k, j))
+    return chain[keep]
+
+
+def simplify(df: DataFrame, tolerance: float,
+             geometry: str = "geometry") -> DataFrame:
+    """Douglas–Peucker simplification per ring (reference relies on
+    shapely `simplify`, duplicates.py:363).  Rings keep their closing
+    vertex; rings that collapse below a triangle are dropped."""
+    tol = float(tolerance)
+
+    def fn(ga, pdf):
+        from .geom.array import LINESTRING as _LS, POINT as _PT
+        blobs = []
+        for g in range(len(ga)):
+            kind = int(ga.kinds[g])
+            if kind == _PT:
+                blobs.append(None if pdf is None else
+                             to_wkb(ga.take([g]))[0])
+                continue
+            parts = []
+            p0, p1 = ga.geom_offsets[g], ga.geom_offsets[g + 1]
+            for p in range(p0, p1):
+                r0, r1 = ga.part_offsets[p], ga.part_offsets[p + 1]
+                rings = []
+                for r in range(r0, r1):
+                    c = ga.coords[ga.ring_offsets[r]:ga.ring_offsets[r + 1]]
+                    closed = len(c) > 2 and np.array_equal(c[0], c[-1])
+                    s = _dp_simplify(c, tol)
+                    if closed and len(s) < 4:
+                        continue  # ring collapsed
+                    rings.append(s)
+                if rings:
+                    parts.append(rings if kind in (POLYGON, 6)
+                                 else rings[0])
+            if not parts:
+                blobs.append(None)
+                continue
+            if kind in (POLYGON, 6):
+                k = POLYGON if len(parts) == 1 else 6
+                sub = from_rings([[parts[0]]] if k == POLYGON else [parts],
+                                 [k])
+            else:
+                k = LINESTRING if len(parts) == 1 else 5
+                sub = from_rings([parts], [k])
+            blobs.append(to_wkb(sub)[0])
+        return blobs, {}
+
+    return _map_geoms(df, fn, geometry=geometry)
+
+
+def extract_unique_points(df: DataFrame,
+                          geometry: str = "geometry") -> DataFrame:
+    """MULTIPOINT of each geometry's distinct vertices (reference
+    `extract_unique_points`, bounds.py:677)."""
+    from .geom.array import MULTIPOINT
+
+    def fn(ga, pdf):
+        blobs = []
+        for g in range(len(ga)):
+            p0, p1 = ga.geom_offsets[g], ga.geom_offsets[g + 1]
+            if p1 == p0:
+                blobs.append(None)
+                continue
+            r0 = ga.part_offsets[p0]
+            r1 = ga.part_offsets[p1]
+            c = ga.coords[ga.ring_offsets[r0]:ga.ring_offsets[r1]]
+            uniq = np.unique(c, axis=0)
+            sub = from_rings([[uniq[i:i + 1] for i in range(len(uniq))]],
+                             [MULTIPOINT])
+            blobs.append(to_wkb(sub)[0])
+        return blobs, {}
+
+    return _map_geoms(df, fn, geometry=geometry)
+
+
+def fix_double_surfaces(df: DataFrame, *, id_col: str,
+                        gridsize: float = 2000.0) -> DataFrame:
+    """Duplicate-surface repair (reference `_eliminate` fix_double pass,
+    polygon_operations.py:763-990): pairwise overlaps among rows are
+    assigned to exactly one owner — largest area first, id tiebreak — via
+    update_geometries with a struct rank (no global sort)."""
+    from .overlay import update_geometries
+    from .io import with_bounds
+    from .cleaning import _with_area
+    base = with_bounds(df.select(id_col, "geometry"))
+    ranked = base.join(_with_area(base, id_col), id_col) \
+        .withColumn("__rank", F.struct((-F.col("__area")).alias("na"),
+                                       F.col(id_col).alias("tid"))) \
+        .drop("__area")
+    out = update_geometries(ranked, id_col=id_col, rank_col="__rank",
+                            gridsize=gridsize).drop("__rank")
+    attrs = df.drop("geometry", "minx", "miny", "maxx", "maxy") \
+        if "minx" in df.columns else df.drop("geometry")
+    return attrs.join(out.select(id_col, "geometry"), id_col, "inner")
+
+
+def split_by_neighbors(df: DataFrame, neighbors: DataFrame, *,
+                       id_col: str, neighbor_id: str, tolerance: float,
+                       gridsize: float = 2000.0) -> DataFrame:
+    """Split polygons by their neighbors' boundary segments extended by
+    `tolerance` (split_by_neighbors, polygon_operations.py:1402-1478:
+    extend_lines(neighbor boundaries) -> SplitOp).  Composition:
+    to_lines -> get_line_segments -> extend_lines -> cell join ->
+    split_polygons_by_lines."""
+    from .conversion import get_line_segments
+    from .line_ops import extend_lines
+    from .io import with_bounds
+    segs = get_line_segments(
+        to_lines(neighbors.select(neighbor_id, "geometry")))
+    segs = extend_lines(segs, float(tolerance))
+    segs = with_bounds(segs.withColumn(
+        "__seg_id", F.xxhash64(F.col("geometry"))))
+    return split_polygons_by_lines(df, segs, id_col=id_col,
+                                   line_id="__seg_id", gridsize=gridsize)
+
+
 def get_rough_centerlines(df: DataFrame, *, id_col: str,
                           n_points: int = 64,
                           geometry: str = "geometry") -> DataFrame:
