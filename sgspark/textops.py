@@ -104,14 +104,17 @@ def near_dup_pairs(docs: DataFrame, *, text_col: str = "text",
     No full-shingle cache (VERDICT round 1: materializing ~L x docs rows is
     a memory hazard at scale): the raw shingle stream is cheap codegen and
     recomputes per consumer; dedup happens only where needed — countDistinct
-    for sizes, and a distinct over the CANDIDATE-doc subset (small) for the
-    intersection counts."""
+    for sizes, and a distinct over the CANDIDATE-doc subset (persisted:
+    bounded by the candidate set, not the corpus; reused by both sides of
+    the intersection join)."""
+    from pyspark import StorageLevel
     sh_raw = shingles(docs, text_col, id_col, width, distinct=False)
     cand = lsh_candidate_pairs(minhash_sketch(sh_raw, id_col, k), id_col, k)
     sizes = sh_raw.groupBy(id_col).agg(F.countDistinct("sh").alias("n"))
     cand_ids = (cand.select(F.col("a").alias(id_col))
                 .union(cand.select(F.col("b").alias(id_col))).distinct())
-    sh_c = sh_raw.join(cand_ids, id_col, "left_semi").distinct()
+    sh_c = sh_raw.join(cand_ids, id_col, "left_semi").distinct() \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     inter = (cand
              .join(sh_c.toDF("a", "sh"), "a")
              .join(sh_c.toDF("b", "sh_b"), "b")
