@@ -290,6 +290,100 @@ def extract_unique_points(df: DataFrame,
     return _map_geoms(df, fn, geometry=geometry)
 
 
+def _chain_crossing_params(a: np.ndarray, b: np.ndarray) -> list[float]:
+    """Arc-length parameters on polyline `a` of all proper crossings with
+    polyline `b` — fully vectorized over the segment-pair matrix."""
+    if len(a) < 2 or len(b) < 2:
+        return []
+    A0, A1 = a[:-1], a[1:]
+    B0, B1 = b[:-1], b[1:]
+    d = A1 - A0
+    e = B1 - B0
+    denom = d[:, None, 0] * e[None, :, 1] - d[:, None, 1] * e[None, :, 0]
+    diff = B0[None, :, :] - A0[:, None, :]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = (diff[:, :, 0] * e[None, :, 1]
+             - diff[:, :, 1] * e[None, :, 0]) / denom
+        u = (diff[:, :, 0] * d[:, None, 1]
+             - diff[:, :, 1] * d[:, None, 0]) / denom
+    ok = (denom != 0) & (t > 1e-12) & (t < 1 - 1e-12) & \
+         (u >= -1e-12) & (u <= 1 + 1e-12)
+    if not ok.any():
+        return []
+    seglen = np.hypot(d[:, 0], d[:, 1])
+    cum = np.concatenate([[0.0], np.cumsum(seglen)])
+    i, j = np.nonzero(ok)
+    return (cum[i] + t[i, j] * seglen[i]).tolist()
+
+
+def polygons_to_lines(dfs: list[DataFrame], *, id_col: str,
+                      gridsize: float = 2000.0) -> DataFrame:
+    """Boundary lines of multiple polygon frames, UNIONED and SPLIT at
+    their mutual intersections — the reference's full to_lines contract
+    (general.py:543-676: boundaries + split-by-points where lines from
+    different frames cross).  Output adds `frame_idx` and `piece_idx`."""
+    from .io import with_bounds
+    from .line_ops import _split_chain_at_params
+    from .geom.array import LINESTRING
+    frames = []
+    for k, df in enumerate(dfs):
+        frames.append(to_lines(df.select(id_col, "geometry"))
+                      .withColumn("frame_idx", F.lit(k)))
+    lines = frames[0]
+    for fr in frames[1:]:
+        lines = lines.unionByName(fr)
+    lines = with_bounds(lines).withColumn(
+        "__lid", F.xxhash64("geometry", "frame_idx", id_col))
+    pairs = sjoin_pairs(lines, lines, "intersects", left_id="__lid",
+                        right_id="__lid", gridsize=gridsize)
+    rid = pairs.columns[1]
+    # only crossings BETWEEN frames split (reference: union of frames is
+    # noded where different inputs cross)
+    fmap = lines.select("__lid", F.col("frame_idx").alias("__lf"))
+    pr = (pairs
+          .join(fmap, "__lid")
+          .join(fmap.toDF(rid, "__rf"), rid)
+          .where(F.col("__lf") != F.col("__rf"))
+          .select("__lid", rid))
+    partners = (pr.join(lines.select(F.col("__lid").alias(rid),
+                                     F.col("geometry").alias("__pg")), rid)
+                .groupBy("__lid")
+                .agg(F.collect_list("__pg").alias("__pgs")))
+    src = lines.join(partners, "__lid", "left")
+    schema = (f"{id_col} " +
+              [f.dataType.simpleString() for f in lines.schema.fields
+               if f.name == id_col][0] +
+              ", frame_idx int, piece_idx int, geometry binary")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ga = from_wkb(pdf["geometry"].tolist())
+            rows = []
+            for g in range(len(pdf)):
+                chain = ga.rings_of_geom(g)[0]
+                pgs = pdf["__pgs"].iloc[g]
+                params: list[float] = []
+                if pgs is not None and len(pgs):
+                    pa = from_wkb(list(pgs))
+                    for q in range(len(pa)):
+                        params.extend(_chain_crossing_params(
+                            chain, pa.rings_of_geom(q)[0]))
+                pieces = _split_chain_at_params(chain, params) \
+                    if params else [chain]
+                for k2, piece in enumerate(pieces):
+                    rows.append((pdf[id_col].iloc[g],
+                                 int(pdf["frame_idx"].iloc[g]), k2,
+                                 to_wkb(from_rings([[piece]],
+                                                   [LINESTRING]))[0]))
+            if rows:
+                yield pd.DataFrame(rows, columns=[id_col, "frame_idx",
+                                                  "piece_idx", "geometry"])
+
+    return src.mapInPandas(kernel, schema=schema)
+
+
 def fix_double_surfaces(df: DataFrame, *, id_col: str,
                         gridsize: float = 2000.0) -> DataFrame:
     """Duplicate-surface repair (reference `_eliminate` fix_double pass,

@@ -147,16 +147,93 @@ def zonal_stats(polygons: DataFrame, tiles: DataFrame, *,
     return agg.select(*keep)
 
 
-def band_gradient(tiles: DataFrame) -> DataFrame:
-    """Per-tile slope magnitude (reference `Band.gradient`,
-    image_collection.py:1302-1355): central-difference gradient over the
-    tile's grid.  Tile-local (1-pixel halo across tiles is future work —
-    boundary pixels use one-sided differences)."""
+def band_gradient(tiles: DataFrame, halo: bool = True) -> DataFrame:
+    """Slope magnitude per tile (reference `Band.gradient`,
+    image_collection.py:1302-1355): central-difference gradient.
+
+    `halo=True` exchanges 1-PIXEL BOUNDARY STRIPS between edge-adjacent
+    tiles (one shuffle: each tile emits its 4 border strips keyed by the
+    neighbor's (x0, y0); the receiving tile pads its array before
+    np.gradient and crops after) so tile borders get true central
+    differences instead of one-sided ones — the cross-tile halo round 1
+    left as future work.  Requires equal-sized grid-aligned tiles."""
+    schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                       for f in tiles.schema.fields)
+    if not halo:
+        def kernel0(batches: Iterator[pd.DataFrame]
+                    ) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                out = pdf.copy()
+                grads = []
+                for i in range(len(pdf)):
+                    n = int(pdf["nx"].iloc[i])
+                    m = int(pdf["ny"].iloc[i])
+                    res = float(pdf["res"].iloc[i])
+                    v = np.asarray(pdf["values"].iloc[i],
+                                   dtype=np.float64).reshape(m, n)
+                    gy, gx = np.gradient(v, res)
+                    grads.append(np.hypot(gx, gy).ravel().tolist())
+                out["values"] = grads
+                yield out
+
+        return tiles.mapInPandas(kernel0, schema=schema)
+
+    # halo strips: for each of the 4 edge neighbors, ship the adjacent
+    # 1-pixel row/col keyed by the NEIGHBOR's origin (pure JVM routing)
+    t = tiles.withColumn("__w", F.col("nx") * F.col("res")) \
+             .withColumn("__h", F.col("ny") * F.col("res"))
+    strips = None
+    for side, dx, dy in (("left", -1, 0), ("right", 1, 0),
+                         ("down", 0, -1), ("up", 0, 1)):
+        sel = (t.select(
+            (F.col("x0") + dx * F.col("__w")).alias("nx0"),
+            (F.col("y0") + dy * F.col("__h")).alias("ny0"),
+            F.lit(side).alias("side"), "nx", "ny", "values"))
+        strips = sel if strips is None else strips.unionByName(sel)
+
+    def strip_kernel(batches: Iterator[pd.DataFrame]
+                     ) -> Iterator[pd.DataFrame]:
+        # cut the 1-pixel strip FACING the neighbor (side = where the
+        # neighbor sits relative to the sender)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for i in range(len(pdf)):
+                n = int(pdf["nx"].iloc[i])
+                m = int(pdf["ny"].iloc[i])
+                v = np.asarray(pdf["values"].iloc[i],
+                               dtype=np.float64).reshape(m, n)
+                side = pdf["side"].iloc[i]
+                if side == "left":
+                    strip = v[:, 0]     # sender's left col -> neighbor's right pad
+                elif side == "right":
+                    strip = v[:, -1]
+                elif side == "down":
+                    strip = v[0, :]
+                else:
+                    strip = v[-1, :]
+                rows.append((float(pdf["nx0"].iloc[i]),
+                             float(pdf["ny0"].iloc[i]), side,
+                             strip.tolist()))
+            if rows:
+                yield pd.DataFrame(rows, columns=["x0", "y0", "side",
+                                                  "strip"])
+
+    halo_df = strips.mapInPandas(
+        strip_kernel,
+        schema="x0 double, y0 double, side string, strip array<double>") \
+        .groupBy("x0", "y0") \
+        .agg(F.map_from_entries(F.collect_list(
+            F.struct("side", "strip"))).alias("__halo"))
+    joined = tiles.join(halo_df, ["x0", "y0"], "left")
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            out = pdf.copy()
             grads = []
             for i in range(len(pdf)):
                 n = int(pdf["nx"].iloc[i])
@@ -164,14 +241,48 @@ def band_gradient(tiles: DataFrame) -> DataFrame:
                 res = float(pdf["res"].iloc[i])
                 v = np.asarray(pdf["values"].iloc[i],
                                dtype=np.float64).reshape(m, n)
-                gy, gx = np.gradient(v, res)
-                grads.append(np.hypot(gx, gy).ravel().tolist())
+                h = pdf["__halo"].iloc[i]
+                h = dict(h) if h is not None else {}
+                # pad with neighbor strips where available (sender 'left'
+                # strip came from the tile to our RIGHT, etc.)
+                pl = np.asarray(h.get("right"), dtype=np.float64) \
+                    if h.get("right") is not None else None
+                pr = np.asarray(h.get("left"), dtype=np.float64) \
+                    if h.get("left") is not None else None
+                pb = np.asarray(h.get("up"), dtype=np.float64) \
+                    if h.get("up") is not None else None
+                pt = np.asarray(h.get("down"), dtype=np.float64) \
+                    if h.get("down") is not None else None
+                a = v
+                l_off = r_off = b_off = t_off = 0
+                if pl is not None and len(pl) == m:
+                    a = np.hstack([pl[:, None], a]); l_off = 1
+                if pr is not None and len(pr) == m:
+                    a = np.hstack([a, pr[:, None]]); r_off = 1
+                w = a.shape[1]
+                if pb is not None and len(pb) == n:
+                    row = np.full(w, np.nan)
+                    row[l_off:l_off + n] = pb
+                    a = np.vstack([row[None, :], a]); b_off = 1
+                if pt is not None and len(pt) == n:
+                    row = np.full(w, np.nan)
+                    row[l_off:l_off + n] = pt
+                    a = np.vstack([a, row[None, :]]); t_off = 1
+                gy, gx = np.gradient(a, res)
+                g = np.hypot(gx, gy)[b_off:b_off + m, l_off:l_off + n]
+                # corners adjacent to NaN pads: recompute from the un-padded
+                # interior to stay deterministic
+                bad = ~np.isfinite(g)
+                if bad.any():
+                    gy0, gx0 = np.gradient(v, res)
+                    g0 = np.hypot(gx0, gy0)
+                    g[bad] = g0[bad]
+                grads.append(g.ravel().tolist())
+            out = pdf.drop(columns=["__halo"]).copy()
             out["values"] = grads
             yield out
 
-    schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
-                       for f in tiles.schema.fields)
-    return tiles.mapInPandas(kernel, schema=schema)
+    return joined.mapInPandas(kernel, schema=schema)
 
 
 def merge_tiles(tiles: DataFrame, by: list[str], how: str = "mean"

@@ -93,3 +93,31 @@ def test_frame_crs_tags_and_mismatch(spark):
     # binary op raises on mismatch
     with pytest.raises(ValueError, match="CRS mismatch"):
         sjoin_pairs(utm, geo, "intersects", left_id="pid", right_id="pid")
+
+
+def test_band_gradient_halo(spark):
+    """Quadratic field v = x^2: central differences are EXACT (2x), so
+    with the cross-tile halo the border pixels match the analytic
+    gradient, while tile-local one-sided differences err by res."""
+    from sgspark.zonal import band_gradient
+    res, n = 1.0, 4
+    rows = []
+    for tx in range(2):
+        x0 = tx * n * res
+        xs = x0 + (np.arange(n) + 0.5) * res
+        v = np.tile(xs[None, :] ** 2, (n, 1))
+        rows.append((f"t{tx}", float(x0), 0.0, res, n, n,
+                     v.ravel().tolist()))
+    tiles = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["tile_id", "x0", "y0", "res",
+                                    "nx", "ny", "values"]))
+    out = {r.tile_id: np.asarray(r["values"]).reshape(n, n)
+           for r in band_gradient(tiles, halo=True).collect()}
+    # right border of tile t0 (x = 3.5): gradient must be exactly 2x = 7
+    assert out["t0"][0, -1] == pytest.approx(7.0, abs=1e-9)
+    # left border of t1 (x = 4.5): 2x = 9
+    assert out["t1"][0, 0] == pytest.approx(9.0, abs=1e-9)
+    # without halo the same pixels use one-sided diffs -> off by ~res
+    out0 = {r.tile_id: np.asarray(r["values"]).reshape(n, n)
+            for r in band_gradient(tiles, halo=False).collect()}
+    assert abs(out0["t0"][0, -1] - 7.0) > 0.5

@@ -97,3 +97,20 @@ def test_get_rough_centerlines(spark):
     ys = ga.coords[:, 1]
     assert np.abs(ys - 5.0).max() < 3.0   # stays near the spine
     assert ga.length()[0] > 60            # spans most of the long axis
+
+
+def test_polygons_to_lines_split(spark):
+    from sgspark.polygon_ops import polygons_to_lines
+    # two overlapping squares in different frames: each CLOSED boundary
+    # ring split at its 2 crossing points -> 3 linestring pieces
+    # (shapely split semantics: the ring is a closed LineString)
+    a = W(spark, ["POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"])
+    b = W(spark, ["POLYGON ((5 -5, 15 -5, 15 5, 5 5, 5 -5))"])
+    out = polygons_to_lines([a, b], id_col="pid").collect()
+    per_frame = {}
+    for r in out:
+        per_frame.setdefault(r.frame_idx, []).append(r.piece_idx)
+    assert sorted(per_frame[0]) == [0, 1, 2]
+    assert sorted(per_frame[1]) == [0, 1, 2]
+    ga = from_wkb([r.geometry for r in out])
+    assert float(ga.length().sum()) == pytest.approx(80.0)  # both rings
