@@ -258,6 +258,25 @@ def read_parquet_url(spark, url: str) -> DataFrame:
     return spark.read.parquet(tmp.name)
 
 
+def write_bucketed(df: DataFrame, table: str, buckets: int, *,
+                   key: str = "cell_key", sort_cols: list[str] | None = None,
+                   path: str | None = None) -> None:
+    """Bucketed storage for CO-LOCATED cell joins (the 100TB lever: two
+    layers bucketed by cell_key with the same bucket count join with NO
+    shuffle exchange — each task reads matching buckets of both sides).
+    Compute the key first (tiling.add_cell_key) so it exists at rest."""
+    w = df.write.mode("overwrite").bucketBy(buckets, key)
+    w = w.sortBy(*(sort_cols or [key]))
+    if path:
+        w = w.option("path", path)
+    w.format("parquet").saveAsTable(table)
+
+
+def read_bucketed(spark, table: str) -> DataFrame:
+    """Read a bucketed table; joins on the bucket key skip the shuffle."""
+    return spark.table(table)
+
+
 def write_geoparquet(df: DataFrame, path: str, partition_cols: list[str] | None = None,
                      mode: str = "overwrite") -> None:
     """Reference `write_geopandas` (dapla_functions.py:529-800): parquet with

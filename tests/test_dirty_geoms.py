@@ -81,3 +81,37 @@ def test_overlapping_collinear_partial():
         pytest.approx(50.0, abs=1e-3)
     assert area(polygon_boolean([[A]], [[B]], "union")) == \
         pytest.approx(150.0, abs=1e-3)
+
+
+def test_rect_minus_rects_random_differential():
+    """rectops.rect_minus_rects vs an independent interval-arithmetic area
+    oracle over 50 random rect sets (deterministic seed)."""
+    rng = np.random.RandomState(7)
+    for trial in range(50):
+        W = (0.0, 0.0, 100.0, 100.0)
+        k = rng.randint(1, 30)
+        x0 = rng.uniform(-20, 90, k)
+        y0 = rng.uniform(-20, 90, k)
+        rects = np.column_stack([x0, y0,
+                                 x0 + rng.uniform(1, 40, k),
+                                 y0 + rng.uniform(1, 40, k)])
+        from sgspark.geom.rectops import rect_minus_rects
+        res = rect_minus_rects(W, rects)
+        got = sum(ring_area(r) for p in (res or []) for r in p)
+        # oracle: coordinate-compression area sum (area-only, no tracing)
+        xs = np.unique(np.concatenate(
+            [[W[0], W[2]], np.clip(rects[:, 0], W[0], W[2]),
+             np.clip(rects[:, 2], W[0], W[2])]))
+        ys = np.unique(np.concatenate(
+            [[W[1], W[3]], np.clip(rects[:, 1], W[1], W[3]),
+             np.clip(rects[:, 3], W[1], W[3])]))
+        cov = np.zeros((len(xs) - 1, len(ys) - 1), bool)
+        for r in rects:
+            i0, i1 = np.searchsorted(xs, np.clip(r[0], W[0], W[2])), \
+                np.searchsorted(xs, np.clip(r[2], W[0], W[2]))
+            j0, j1 = np.searchsorted(ys, np.clip(r[1], W[1], W[3])), \
+                np.searchsorted(ys, np.clip(r[3], W[1], W[3]))
+            cov[i0:i1, j0:j1] = True
+        w = np.diff(xs)[:, None] * np.diff(ys)[None, :]
+        want = float(w[~cov].sum())
+        assert got == pytest.approx(want, abs=1e-9), f"trial {trial}"

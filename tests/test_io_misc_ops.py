@@ -310,3 +310,33 @@ def test_gridlooper_class(spark, docs500):
     gl = Gridlooper(1000.0, "x double, y double, n long")
     out = gl.run(pts, per_cell)
     assert out.agg(F.sum("n")).first()[0] == pts.count()
+
+
+def test_bucketed_colocated_join(spark, tmp_path):
+    """Two layers bucketed by cell_key join WITHOUT a shuffle exchange —
+    the co-located-join lever for 100TB repeated spatial joins."""
+    from sgspark.io import read_bucketed, write_bucketed
+    from sgspark.tiling import add_cell_key
+    import io as _io
+    from contextlib import redirect_stdout
+
+    a = spark.range(1000).selectExpr("id", "cast(id % 50 as double) AS x",
+                                     "cast(id % 40 as double) AS y")
+    a = add_cell_key(a, 10.0)
+    b = spark.range(500).selectExpr("id AS bid",
+                                    "cast(id % 50 as double) AS x",
+                                    "cast(id % 40 as double) AS y")
+    b = add_cell_key(b, 10.0)
+    write_bucketed(a, "buck_a", 8, path=str(tmp_path / "a"))
+    write_bucketed(b, "buck_b", 8, path=str(tmp_path / "b"))
+    ta = read_bucketed(spark, "buck_a")
+    tb = read_bucketed(spark, "buck_b")
+    joined = ta.hint("merge").join(tb, "cell_key")
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        joined.explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan, plan
+    assert joined.count() > 0
+    spark.sql("DROP TABLE IF EXISTS buck_a")
+    spark.sql("DROP TABLE IF EXISTS buck_b")
