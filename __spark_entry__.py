@@ -428,6 +428,20 @@ def q_ann_lsh(spark, sf_dir):
     return cosine_topk_lsh(vecs, 5)
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF inverted-list ANN (rows-only: kmeans assignment isn't
+    SQL-derivable; exactness covered by the full-probe == brute pytest)."""
+    from sgspark.vecops import cosine_topk_ivf
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_topk_ivf(vecs, 5, n_centroids=8, n_probe=8)
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    from sgspark.vecops import embedding_near_dups
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_dups(vecs, 0.35)
+
+
 def q_events_hourly(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return (ev.groupBy("event_type",
@@ -478,6 +492,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "cosine_topk": q_cosine_topk,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
+        "embedding_near_dups": q_embedding_near_dups,
         "events_hourly": q_events_hourly,
         "tpch_q1": q_tpch_q1,
     }
@@ -749,6 +765,26 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY sim_raw DESC, neighbor_id) AS k_rank
               FROM sims)
             WHERE k_rank <= 5""",
+        "embedding_near_dups": """
+            WITH q AS (
+              SELECT vec_id, t.i AS pos,
+                     CAST(round(embedding[CAST(t.i AS INTEGER)] * 1000)
+                          AS BIGINT) AS v
+              FROM embeddings, generate_series(1, 64) t(i)
+            ), norms AS (
+              SELECT vec_id, sum(v * v) AS n2 FROM q GROUP BY 1
+            )
+            SELECT a, b, round(sim_raw, 6) AS sim FROM (
+              SELECT qa.vec_id AS a, qb.vec_id AS b,
+                     sum(qa.v * qb.v) / sqrt(CAST(na.n2 AS DOUBLE) *
+                                             CAST(nb.n2 AS DOUBLE))
+                       AS sim_raw
+              FROM q qa JOIN q qb ON qa.pos = qb.pos
+                 AND qa.vec_id < qb.vec_id
+              JOIN norms na ON na.vec_id = qa.vec_id
+              JOIN norms nb ON nb.vec_id = qb.vec_id
+              GROUP BY qa.vec_id, qb.vec_id, na.n2, nb.n2)
+            WHERE sim_raw >= 0.35""",
         "events_hourly": """
             SELECT event_type,
                    CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,

@@ -95,3 +95,86 @@ def real_decode(payload: bytes):
     raise NotImplementedError(
         "image/audio decode libraries are not available in this container; "
         "swap _fake_decode for this hook on a real cluster")
+
+
+def frame_sample(media: DataFrame, n_frames: int = 4,
+                 id_cols: tuple = ("doc_id", "span_pos")) -> DataFrame:
+    """VIDEO frame sampling plumbing: one row per sampled frame with a
+    deterministic frame timestamp + per-frame feature vector.
+
+    The frame DECODE is the same explicit stub discipline as images (no
+    ffmpeg in this container): frame features derive deterministically
+    from (payload, frame_idx), so schema/batching/ordering — the Spark
+    side — is fully real and tested.  Real deployments replace
+    `_fake_frame` with a seek+decode inside the same mapInPandas shape."""
+    cols = [c for c in media.columns if c != "payload"]
+    schema = (", ".join([f"{c} long" if c in ("doc_index",) else
+                         (f"{c} int" if c == "span_pos" else f"{c} string")
+                         for c in cols])
+              + ", frame_idx int, frame_ts double, "
+                f"features array<float>")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows_src, fidx, fts, feats = [], [], [], []
+            for i in range(len(pdf)):
+                payload = bytes(pdf["payload"].iloc[i])
+                dur = 1.0 + (sum(payload) % 29)  # fake duration seconds
+                for k in range(n_frames):
+                    rows_src.append(i)
+                    fidx.append(k)
+                    fts.append(round(dur * (k + 0.5) / n_frames, 6))
+                    feats.append(_fake_frame(payload, k))
+            out = pdf.iloc[rows_src][cols].copy()
+            out["frame_idx"] = fidx
+            out["frame_ts"] = fts
+            out["features"] = feats
+            yield out
+
+    return media.mapInPandas(kernel, schema=schema)
+
+
+def _fake_frame(payload: bytes, frame_idx: int) -> list:
+    h = np.frombuffer((payload * (64 // max(len(payload), 1) + 1))[:64],
+                      dtype=np.uint8).astype(np.float64)
+    return ((np.roll(h[:FEATURE_DIM], frame_idx) / 255.0)
+            + frame_idx * 0.01).astype(np.float32).tolist()
+
+
+def audio_windows(media: DataFrame, window_s: float = 1.0,
+                  n_windows: int = 8) -> DataFrame:
+    """AUDIO windowing plumbing: fixed-length analysis windows per clip
+    with deterministic per-window energy features (decode stubbed, same
+    discipline as frame_sample)."""
+    cols = [c for c in media.columns if c != "payload"]
+    schema = (", ".join([f"{c} long" if c in ("doc_index",) else
+                         (f"{c} int" if c == "span_pos" else f"{c} string")
+                         for c in cols])
+              + ", window_idx int, t0 double, t1 double, energy double")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows_src, widx, t0s, t1s, en = [], [], [], [], []
+            for i in range(len(pdf)):
+                payload = bytes(pdf["payload"].iloc[i])
+                h = np.frombuffer(
+                    (payload * (n_windows // max(len(payload), 1) + 2))
+                    [:n_windows], dtype=np.uint8)
+                for k in range(n_windows):
+                    rows_src.append(i)
+                    widx.append(k)
+                    t0s.append(k * window_s)
+                    t1s.append((k + 1) * window_s)
+                    en.append(float(h[k]) / 255.0)
+            out = pdf.iloc[rows_src][cols].copy()
+            out["window_idx"] = widx
+            out["t0"] = t0s
+            out["t1"] = t1s
+            out["energy"] = en
+            yield out
+
+    return media.mapInPandas(kernel, schema=schema)

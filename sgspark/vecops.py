@@ -74,6 +74,157 @@ def _srp_bucket_expr(vec_col: str, n_bits: int, dim: int,
     return " + ".join(bits)
 
 
+def embedding_near_dups(vecs: DataFrame, threshold: float = 0.95, *,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        exact: bool = True, n_bits: int = 8,
+                        n_tables: int = 2) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (a, b, sim) with
+    sim >= threshold, a < b.  `exact=True` verifies ALL pairs (broadcast
+    cross — the oracle-matched baseline); `exact=False` restricts to SRP
+    bucket candidates (the scale path, same candidate machinery as
+    cosine_topk_lsh).  Quantized-integer similarity — cross-engine exact."""
+    a = _quantized(vecs, vec_col, id_col, "a")
+    if exact:
+        b = F.broadcast(_quantized(vecs, vec_col, id_col, "b"))
+        cand = a.crossJoin(b).where(F.col("a") < F.col("b"))
+    else:
+        dim = len(vecs.select(vec_col).first()[0])
+        vids = vecs.select(F.col(id_col).alias("a"),
+                           F.col(vec_col).alias("__v"))
+        tables = []
+        for t in range(n_tables):
+            expr = _srp_bucket_expr("__v", n_bits, dim, table=t)
+            tables.append(vids.select(
+                "a", F.concat(F.lit(f"{t}:"),
+                              F.expr(expr).cast("string")).alias("bucket")))
+        bucketed = tables[0]
+        for t in tables[1:]:
+            bucketed = bucketed.unionByName(t)
+        ids = (bucketed.join(bucketed.select(F.col("a").alias("b"),
+                                             "bucket"), "bucket")
+               .where(F.col("a") < F.col("b")).select("a", "b").distinct())
+        cand = ids.join(a, "a") \
+                  .join(a.select(F.col("a").alias("b"),
+                                 F.col("q_a").alias("q_b"),
+                                 F.col("n_a").alias("n_b")), "b")
+    pairs = (cand.withColumn("dot", F.expr(
+                "aggregate(zip_with(q_a, q_b, (x, y) -> x * y), "
+                "cast(0 as bigint), (acc, v) -> acc + v)"))
+             .withColumn("sim_raw",
+                         F.col("dot") / F.sqrt(F.col("n_a").cast("double") *
+                                               F.col("n_b").cast("double"))))
+    return (pairs.where(F.col("sim_raw") >= float(threshold))
+            .select(F.col("a"), F.col("b"),
+                    F.round("sim_raw", 6).alias("sim")))
+
+
+def cosine_topk_ivf(vecs: DataFrame, k: int, *, id_col: str = "vec_id",
+                    vec_col: str = "embedding", n_centroids: int = 16,
+                    n_probe: int = 4, lloyd_iters: int = 2) -> DataFrame:
+    """IVF (inverted-file) ANN — the second scale path beside SRP-LSH:
+
+      1. deterministic centroid seed: the n_centroids vectors with the
+         smallest xxhash64(id) (partitioning-independent);
+      2. `lloyd_iters` distributed Lloyd rounds: assign every vector to its
+         nearest centroid (one Arrow kernel per round, centroids broadcast
+         as a numpy matrix), recompute centroids as coordinate means;
+      3. search: each vector probes its n_probe nearest centroid lists and
+         takes exact quantized top-k within the probed buckets.
+
+    Candidates per vector ~ n_probe/n_centroids of the corpus — the
+    classic recall/cost dial.  Returns (vec_id, neighbor_id, sim, k_rank).
+    """
+    import numpy as np
+    import pandas as pd
+    from typing import Iterator
+
+    spark = vecs.sparkSession
+    seeds = (vecs.select(id_col, vec_col)
+             .orderBy(F.xxhash64(F.col(id_col).cast("string")))
+             .limit(n_centroids).collect())
+    C = np.array([r[1] for r in seeds], dtype=np.float64)
+    C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+
+    def assign_kernel_factory(Cb):
+        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            Cm = Cb.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                V = np.array(pdf["__v"].tolist(), dtype=np.float64)
+                Vn = V / np.maximum(np.linalg.norm(V, axis=1,
+                                                   keepdims=True), 1e-12)
+                sims = Vn @ Cm.T
+                out = pdf[["__id"]].copy()
+                out["cid"] = np.argmax(sims, axis=1).astype(np.int32)
+                yield out
+        return kernel
+
+    id_t = [f.dataType.simpleString() for f in vecs.schema.fields
+            if f.name == id_col][0]
+    base = vecs.select(F.col(id_col).alias("__id"),
+                       F.col(vec_col).alias("__v"))
+    for _ in range(max(int(lloyd_iters), 0)):
+        bc = spark.sparkContext.broadcast(C)
+        assigned = base.mapInPandas(assign_kernel_factory(bc),
+                                    schema=f"__id {id_t}, cid int")
+        means = (base.join(assigned, "__id")
+                 .select("cid", F.posexplode("__v").alias("pos", "val"))
+                 .groupBy("cid", "pos").agg(F.avg("val").alias("m"))
+                 .groupBy("cid")
+                 .agg(F.array_sort(F.collect_list(
+                     F.struct("pos", "m"))).alias("s"))
+                 .select("cid", F.expr("transform(s, e -> e.m)").alias("c"))
+                 .collect())
+        for r in means:
+            v = np.asarray(r["c"], dtype=np.float64)
+            n = np.linalg.norm(v)
+            if n > 1e-12:
+                C[r["cid"]] = v / n
+
+    bc = spark.sparkContext.broadcast(C)
+    assigned = base.mapInPandas(assign_kernel_factory(bc),
+                                schema=f"__id {id_t}, cid int")
+
+    def probe_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Cm = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array(pdf["__v"].tolist(), dtype=np.float64)
+            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True),
+                                1e-12)
+            sims = Vn @ Cm.T
+            order = np.argsort(-sims, axis=1)[:, :n_probe]
+            out = pd.DataFrame({
+                "__id": np.repeat(pdf["__id"].to_numpy(), n_probe),
+                "cid": order.ravel().astype(np.int32)})
+            yield out
+
+    probes = base.mapInPandas(probe_kernel, schema=f"__id {id_t}, cid int")
+    q = _quantized(vecs, vec_col, id_col, "a")
+    cand = (probes.withColumnRenamed("__id", "a")
+            .join(assigned.withColumnRenamed("__id", "b"), "cid")
+            .where(F.col("a") != F.col("b"))
+            .select("a", "b").distinct()
+            .join(q, "a")
+            .join(q.select(F.col("a").alias("b"), F.col("q_a").alias("q_b"),
+                           F.col("n_a").alias("n_b")), "b"))
+    pairs = (cand.withColumn("dot", F.expr(
+                "aggregate(zip_with(q_a, q_b, (x, y) -> x * y), "
+                "cast(0 as bigint), (acc, v) -> acc + v)"))
+             .withColumn("sim_raw",
+                         F.col("dot") / F.sqrt(F.col("n_a").cast("double") *
+                                               F.col("n_b").cast("double"))))
+    w = Window.partitionBy("a").orderBy(F.col("sim_raw").desc(),
+                                        F.col("b").asc())
+    return (pairs.withColumn("k_rank", F.row_number().over(w))
+            .where(F.col("k_rank") <= k)
+            .select(F.col("a").alias(id_col), F.col("b").alias("neighbor_id"),
+                    F.round("sim_raw", 6).alias("sim"),
+                    F.col("k_rank").cast("long").alias("k_rank")))
+
+
 def cosine_topk_lsh(vecs: DataFrame, k: int, *, id_col: str = "vec_id",
                     vec_col: str = "embedding", n_bits: int = 8,
                     n_tables: int = 2) -> DataFrame:

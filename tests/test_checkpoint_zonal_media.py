@@ -111,3 +111,19 @@ def test_media_pipeline(docs500):
         b = out2.sort_values(["doc_index", "span_pos"]).reset_index(drop=True)
         assert (a.width == b.width).all()
         assert all(np.allclose(x, y) for x, y in zip(a.features, b.features))
+
+
+def test_frame_sample_and_audio_windows(spark, docs500):
+    from sgspark.media import audio_windows, fetch_media, frame_sample, media_refs
+    media = fetch_media(media_refs(docs500).limit(20))
+    frames = frame_sample(media, n_frames=3)
+    rows = frames.collect()
+    assert len(rows) == 3 * media.count()
+    # deterministic across partitionings
+    rows2 = frame_sample(media.repartition(7), n_frames=3).collect()
+    key = lambda r: (r.doc_id, r.span_pos, r.frame_idx)
+    assert sorted((key(r), tuple(r.features)) for r in rows) == \
+        sorted((key(r), tuple(r.features)) for r in rows2)
+    aw = audio_windows(media, n_windows=4).collect()
+    assert len(aw) == 4 * media.count()
+    assert all(0.0 <= r.energy <= 1.0 for r in aw)

@@ -127,3 +127,34 @@ def test_cosine_topk_matches_numpy(spark):
         l = set(lsh[lsh.vec_id == v].neighbor_id)
         hits += len(b & l)
     assert hits / (40 * 3) > 0.6
+
+
+def test_embedding_near_dups_exact_vs_lsh(spark):
+    vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    from sgspark.vecops import embedding_near_dups
+    exact = {(r.a, r.b): r.sim
+             for r in embedding_near_dups(vecs, 0.35).collect()}
+    assert len(exact) > 0
+    approx = {(r.a, r.b): r.sim
+              for r in embedding_near_dups(vecs, 0.35, exact=False).collect()}
+    # LSH candidates are a subset with identical sims where present
+    assert set(approx) <= set(exact)
+    for kk, v in approx.items():
+        assert v == exact[kk]
+
+
+def test_cosine_topk_ivf_recall(spark):
+    vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    from sgspark.vecops import cosine_topk_bruteforce, cosine_topk_ivf
+    truth = {(r.vec_id, r.neighbor_id)
+             for r in cosine_topk_bruteforce(vecs, 3).collect()}
+    got = {(r.vec_id, r.neighbor_id)
+           for r in cosine_topk_ivf(vecs, 3, n_centroids=8,
+                                    n_probe=4).collect()}
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.5, recall  # probing half the lists
+    # full probe == exact
+    got_all = {(r.vec_id, r.neighbor_id)
+               for r in cosine_topk_ivf(vecs, 3, n_centroids=8,
+                                        n_probe=8).collect()}
+    assert got_all == truth
