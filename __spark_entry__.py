@@ -374,6 +374,46 @@ def q_coverage_clean(spark, sf_dir):
     return out.select("pid").orderBy("pid")
 
 
+# horizontal test lines for the line-clip oracle: half-integer y (no
+# boundary ties vs half-integer zone edges? zone edges are at integer ±
+# 200.5-style halves — use y offset .25 to dodge both lattices)
+_LX0 = "(254000 + (s_suppkey * 9973) % 18000)"
+_LY = "(6644000 + (s_suppkey * 331) % 17000 + 0.25)"
+_LLEN = "(500 + (s_suppkey % 13) * 250)"
+
+
+def q_clip_lines(spark, sf_dir):
+    """LINE x POLYGON clipping through the real engine (split at boundary
+    crossings, midpoint containment); exact SQL oracle because the test
+    lines are horizontal segments and zones are axis-aligned squares —
+    clipped length = interval overlap."""
+    from sgspark.io import wkt_to_wkb_df
+    from sgspark.line_ops import clip_lines_by_polygons
+    lines = wkt_to_wkb_df(
+        spark.read.parquet(f"{sf_dir}/supplier.parquet").selectExpr(
+            "s_suppkey AS lid",
+            f"concat('LINESTRING (', cast({_LX0} as bigint), ' ', "
+            f"cast({_LY} * 4 as bigint) / 4.0, ', ', "
+            f"cast({_LX0} + {_LLEN} as bigint), ' ', "
+            f"cast({_LY} * 4 as bigint) / 4.0, ')') AS geometry_wkt"))
+    zones = _zones(spark, sf_dir)
+    clipped = clip_lines_by_polygons(lines, zones, line_id="lid",
+                                     poly_id="zone_id")
+
+    def len_kernel(batches):
+        from sgspark.geom.wkb import from_wkb
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ga = from_wkb(pdf["geometry"].tolist())
+            out = pdf[["lid", "zone_id"]].copy()
+            out["clip_len"] = ga.length().round(6)
+            yield out
+
+    return clipped.mapInPandas(
+        len_kernel, schema="lid long, zone_id long, clip_len double")
+
+
 def q_dedup_exact(spark, sf_dir):
     from sgspark.textops import exact_dedup
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -479,6 +519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snap": q_snap,
         "zonal_stats": q_zonal_stats,
         "crs_roundtrip": q_crs_roundtrip,
+        "clip_lines": q_clip_lines,
         "route_costs": q_route_costs,
         "route_edges": q_route_edges,
         "coverage_clean": q_coverage_clean,
@@ -611,6 +652,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, round(CAST({PX} AS DOUBLE), 3) AS x_mm,
                    round(CAST({PY} AS DOUBLE), 3) AS y_mm
             FROM documents""",
+        "clip_lines": f"""
+            SELECT s.s_suppkey AS lid, c.c_custkey AS zone_id,
+                   round(least({_LX0} + {_LLEN}, {ZX} + {ZR})
+                         - greatest({_LX0}, {ZX} - {ZR}), 6) AS clip_len
+            FROM supplier s, customer c
+            WHERE abs({_LY} - {ZY}) < {ZR}
+              AND least({_LX0} + {_LLEN}, {ZX} + {ZR})
+                  - greatest({_LX0}, {ZX} - {ZR}) > 0""",
         "route_costs": """
             -- min-plus matrix squaring: d(2k) = min over mid of
             -- d(k)+d(k); 7 doublings cover 128 hops >= graph diameter

@@ -185,6 +185,81 @@ def split_lines_by_nearest_point(lines: DataFrame, points: DataFrame, *,
     return src.mapInPandas(kernel, schema=schema)
 
 
+def clip_lines_by_polygons(lines: DataFrame, polys: DataFrame, *,
+                           line_id: str, poly_id: str,
+                           gridsize: float = 2000.0) -> DataFrame:
+    """LINE x POLYGON intersection (the reference's clean_clip / overlay
+    for line layers — roads clipped by municipalities): each line is split
+    at its crossings with the polygon boundary; pieces whose midpoint lies
+    inside the polygon are kept.  Exact for simple polygons (holes
+    respected).  Returns (line_id, poly_id, piece_idx, geometry)."""
+    from .joins import sjoin_pairs
+    from .polygon_ops import _chain_crossing_params
+    from .geom.measure import points_in_ring
+    pairs = sjoin_pairs(lines, polys, "intersects", left_id=line_id,
+                        right_id=poly_id, gridsize=gridsize)
+    rid = pairs.columns[1]
+    lg = lines.select(F.col(line_id), F.col("geometry").alias("__lg"))
+    pg = polys.select(F.col(poly_id).alias(rid),
+                      F.col("geometry").alias("__pg"))
+    withg = pairs.join(lg, line_id).join(pg, rid)
+    lid_t = [f.dataType.simpleString() for f in lines.schema.fields
+             if f.name == line_id][0]
+    pid_t = [f.dataType.simpleString() for f in polys.schema.fields
+             if f.name == poly_id][0]
+    schema = (f"{line_id} {lid_t}, {rid} {pid_t}, piece_idx int, "
+              "geometry binary")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            lcodes, lu = pd.factorize(pdf["__lg"], use_na_sentinel=False)
+            pcodes, pu = pd.factorize(pdf["__pg"], use_na_sentinel=False)
+            la = from_wkb(list(lu))
+            pa = from_wkb(list(pu))
+            rows = []
+            for r in range(len(pdf)):
+                chain = la.rings_of_geom(int(lcodes[r]))[0]
+                rings = pa.rings_of_geom(int(pcodes[r]))
+                if len(chain) < 2 or not rings:
+                    continue
+                params: list[float] = []
+                for ring in rings:
+                    params.extend(_chain_crossing_params(chain, ring))
+                pieces = _split_chain_at_params(chain, params) \
+                    if params else [chain]
+                k2 = 0
+                for piece in pieces:
+                    # midpoint-in-polygon keeps interior pieces (holes cut)
+                    seg = np.diff(piece, axis=0)
+                    sl = np.hypot(seg[:, 0], seg[:, 1])
+                    cum = np.concatenate([[0.0], np.cumsum(sl)])
+                    half = cum[-1] / 2.0
+                    j = int(np.searchsorted(cum[1:], half))
+                    t = (half - cum[j]) / max(sl[j], 1e-300)
+                    mid = piece[j] + t * seg[j]
+                    inside = bool(points_in_ring(
+                        np.array([mid[0]]), np.array([mid[1]]),
+                        rings[0])[0])
+                    for h in rings[1:]:
+                        if inside:
+                            inside &= not bool(points_in_ring(
+                                np.array([mid[0]]), np.array([mid[1]]),
+                                h)[0])
+                    if inside:
+                        rows.append((pdf[line_id].iloc[r],
+                                     pdf[rid].iloc[r], k2,
+                                     to_wkb(from_rings([[piece]],
+                                                       [LINESTRING]))[0]))
+                        k2 += 1
+            if rows:
+                yield pd.DataFrame(rows, columns=[line_id, rid,
+                                                  "piece_idx", "geometry"])
+
+    return withg.mapInPandas(kernel, schema=schema)
+
+
 def extend_lines(df: DataFrame, distance: float, *,
                  geometry: str = "geometry") -> DataFrame:
     """Extend each LineString by `distance` beyond both endpoints along the

@@ -114,3 +114,25 @@ def test_polygons_to_lines_split(spark):
     assert sorted(per_frame[1]) == [0, 1, 2]
     ga = from_wkb([r.geometry for r in out])
     assert float(ga.length().sum()) == pytest.approx(80.0)  # both rings
+
+
+def test_clip_lines_by_polygons(spark):
+    from sgspark.line_ops import clip_lines_by_polygons
+    lines = W(spark, ["LINESTRING (-5 5, 15 5)",      # crosses square
+                      "LINESTRING (2 2, 8 2)",        # fully inside
+                      "LINESTRING (20 20, 30 20)"],   # outside
+              idc="lid")
+    polys = W(spark, ["POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"])
+    out = clip_lines_by_polygons(lines, polys, line_id="lid",
+                                 poly_id="pid").collect()
+    lens = {r.lid: round(float(from_wkb([r.geometry]).length()[0]), 6)
+            for r in out}
+    assert lens == {0: 10.0, 1: 6.0}
+    # hole respected: piece over the hole is cut out
+    holed = W(spark, ["POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), "
+                      "(4 4, 4 6, 6 6, 6 4, 4 4))"])
+    out2 = clip_lines_by_polygons(
+        W(spark, ["LINESTRING (-5 5, 15 5)"], idc="lid"), holed,
+        line_id="lid", poly_id="pid").collect()
+    total = float(from_wkb([r.geometry for r in out2]).length().sum())
+    assert total == pytest.approx(8.0)  # 10 inside minus 2 over the hole
