@@ -81,9 +81,15 @@ def coverage_clean(df: DataFrame, tolerance: float, *, id_col: str,
     attrs = [c for c in df.columns
              if c not in (id_col, "geometry", "minx", "miny", "maxx", "maxy")]
 
+    # Each pipeline stage is localCheckpoint'ed: downstream stages run
+    # several internal actions (probes, fixpoint counters), and without a
+    # materialization barrier every one of them re-executes the WHOLE
+    # upstream chain — O(stages^2) recompute.  The coverage layer itself is
+    # bounded, so executor-local materialization is the right trade at any
+    # scale (the reference pipeline is eager stage-by-stage too).
     # 1. thin interior holes
     cur = with_bounds(close_thin_holes(
-        df.drop("minx", "miny", "maxx", "maxy"), tolerance))
+        df.drop("minx", "miny", "maxx", "maxy"), tolerance)).localCheckpoint()
 
     # 2. thin gaps -> neighbor with longest shared border; gap rows get
     # synthetic NEGATIVE ids (disjoint from real ids) and are dropped after
@@ -93,10 +99,11 @@ def coverage_clean(df: DataFrame, tolerance: float, *, id_col: str,
     gaps = gaps.withColumn(
         id_col, -(F.abs(F.xxhash64("geometry")) + F.lit(1)))
     thin_gaps = (_thin_flag(gaps, tolerance).where("__thin")
-                 .select(id_col, "geometry", "minx", "miny", "maxx", "maxy"))
+                 .select(id_col, "geometry", "minx", "miny", "maxx", "maxy")
+                 .localCheckpoint())
     filled = eliminate_by_longest(cur, thin_gaps, id_col=id_col,
                                   gridsize=gridsize)
-    filled = filled.where(F.col(id_col) >= 0)  # drop isolated gap debris
+    filled = filled.where(F.col(id_col) >= 0).localCheckpoint()
 
     # 3. double surfaces: priority = largest area first (reference runs
     # sort_large_first before update_geometries)
@@ -109,7 +116,8 @@ def coverage_clean(df: DataFrame, tolerance: float, *, id_col: str,
                                        F.col(id_col).alias("tid"))) \
         .drop("__area")
     deduped = update_geometries(ranked, id_col=id_col, rank_col="__rank",
-                                gridsize=gridsize).drop("__rank")
+                                gridsize=gridsize).drop("__rank") \
+        .localCheckpoint()
 
     # 4. spikes
     out = remove_spikes(deduped.select(id_col, *attrs, "geometry"),
