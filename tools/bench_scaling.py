@@ -1,7 +1,8 @@
 """Two-parallelism scaling evidence (north rule: efficiency >= 0.8 from N
 to 4N).  Runs bench.py as a subprocess at local[8] and local[32] on the
 same input, 1 warmup + 3 measured runs each, reports median wall time,
-docs/sec and efficiency = (T_N / T_4N) / 4 into BENCH/BASELINE.md.
+docs/sec and efficiency = (T_N / T_4N) / 4 into BENCH/SCALING_RUNS.md
+(raw numbers; the analysis narrative lives in BENCH/BASELINE.md).
 
 Subprocess-per-run so each parallelism level gets a fresh JVM (no
 cross-contamination of codegen caches or shuffle files).
@@ -113,9 +114,9 @@ def _write_md(s, lo, hi):
         "compile, synth of the spans table) that do not scale with cores; "
         "per-query medians above isolate the scalable portions.",
     ]
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", "SCALING_RUNS.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
-    print("wrote BENCH/BASELINE.md")
+    print("wrote BENCH/SCALING_RUNS.md")
 
 
 if __name__ == "__main__":
