@@ -647,7 +647,8 @@ def to_lines(df: DataFrame, geometry: str = "geometry") -> DataFrame:
 
 def eliminate_by_largest(df: DataFrame, to_eliminate: DataFrame, *,
                          id_col: str, gridsize: float = 2000.0,
-                         largest: bool = True) -> DataFrame:
+                         largest: bool = True,
+                         fix_double: bool = False) -> DataFrame:
     """Merge sliver polygons into the intersecting neighbor with the
     largest (or smallest) area (eliminate_by_largest/_smallest,
     polygon_operations.py:497-760).
@@ -655,7 +656,9 @@ def eliminate_by_largest(df: DataFrame, to_eliminate: DataFrame, *,
     df = keeper polygons, to_eliminate = slivers (disjoint id spaces).
     Returns keepers with slivers unioned in (attributes from the keeper)
     plus slivers that touched no keeper, unchanged (isolated, like the
-    reference's leftover handling)."""
+    reference's leftover handling).  `fix_double=True` runs the
+    duplicate-surface repair pass on the result (reference _eliminate
+    fix_double, polygon_operations.py:763-990)."""
     keep_area = _with_area(df, id_col)
     pairs = sjoin_pairs(to_eliminate, df, "intersects", left_id=id_col,
                         right_id=id_col, gridsize=gridsize)
@@ -680,7 +683,10 @@ def eliminate_by_largest(df: DataFrame, to_eliminate: DataFrame, *,
     isolated = to_eliminate.join(chosen.select(F.col(sliver_id).alias(id_col)),
                                  id_col, "left_anti") \
         .drop("minx", "miny", "maxx", "maxy")
-    return out.unionByName(isolated, allowMissingColumns=True)
+    res = out.unionByName(isolated, allowMissingColumns=True)
+    if fix_double:
+        res = fix_double_surfaces(res, id_col=id_col, gridsize=gridsize)
+    return res
 
 
 def eliminate_by_smallest(df: DataFrame, to_eliminate: DataFrame, **kw):

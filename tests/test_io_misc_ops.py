@@ -40,6 +40,15 @@ def test_read_geopandas_mask_prunes_partitions(spark, geo_dataset):
     # partition pruning: only files under cxb=0 were read
     files = out.select(F.input_file_name().alias("f")).distinct().collect()
     assert all("cxb=0" in r.f for r in files)
+    # the bbox mask reaches the parquet scan as PushedFilters (row-group
+    # min/max pruning — the reference's file-level bbox pruning twin)
+    import io as _io
+    from contextlib import redirect_stdout
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters" in plan and "minx" in plan.split("PushedFilters")[1][:200]
 
 
 def test_read_geopandas_filters_and_columns(spark, geo_dataset):
