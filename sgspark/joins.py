@@ -66,6 +66,7 @@ def _cover_cells(df: DataFrame, gridsize: float, expand: float = 0.0,
 
 
 BROADCAST_RIGHT_MAX_BYTES = 64 << 20  # byte cap for driver-side right layer
+MAX_COVER_CELLS = 4096  # bbox cover above this routes to the bbox-join branch
 
 
 def _collect_bounded(df: DataFrame, max_bytes: int, geom_pos: int = 1
@@ -138,15 +139,41 @@ def sjoin_pairs(left: DataFrame, right: DataFrame, predicate: str = "intersects"
                                           keep_distance=keep_distance,
                                           assume_left_points=assume_left_points)
 
-    l = left.select(F.col(left_id).alias("__lid"), F.col("geometry").alias("__lg"),
-                    "minx", "miny", "maxx", "maxy")
-    l = _cover_cells(l, gridsize, expand=expand, prefix="l_") \
+    # HUGE-GEOMETRY ROUTING: a row whose (expanded) bbox covers more than
+    # MAX_COVER_CELLS cells would make the sequence() cover explode blow up
+    # (a country-sized polygon at a city-sized gridsize).  Such rows are
+    # rare by nature, so they take a broadcast bbox-join branch against the
+    # ENTIRE other side (no cells; the same refine kernel runs on the union
+    # because the branch synthesizes cell_key = the anchor expression, so
+    # the kernel's anchor dedup passes each pair through exactly once).
+    g = float(gridsize)
+    e = float(expand)
+
+    def _ncells(pre_e: float):
+        return (f"((cast(floor((maxx + {pre_e} + {FALSE_EASTING}) / {g}) as bigint)"
+                f" - cast(floor((minx - {pre_e} + {FALSE_EASTING}) / {g}) as bigint) + 1)"
+                f" * (cast(floor((maxy + {pre_e}) / {g}) as bigint)"
+                f" - cast(floor((miny - {pre_e}) / {g}) as bigint) + 1))")
+
+    l0 = left.select(F.col(left_id).alias("__lid"),
+                     F.col("geometry").alias("__lg"),
+                     "minx", "miny", "maxx", "maxy")
+    r0 = right.select(F.col(right_id).alias("__rid"),
+                      F.col("geometry").alias("__rg"),
+                      "minx", "miny", "maxx", "maxy")
+    if assume_left_points and e == 0.0:
+        l_small, l_big = l0, None  # points cover one cell; skip the branch
+    else:
+        l_small = l0.where(F.expr(f"{_ncells(e)} <= {MAX_COVER_CELLS}"))
+        l_big = l0.where(F.expr(f"{_ncells(e)} > {MAX_COVER_CELLS}"))
+    r_small = r0.where(F.expr(f"{_ncells(0.0)} <= {MAX_COVER_CELLS}"))
+    r_big = r0.where(F.expr(f"{_ncells(0.0)} > {MAX_COVER_CELLS}"))
+
+    l = _cover_cells(l_small, gridsize, expand=expand, prefix="l_") \
         .select("__lid", "__lg", "cell_key",
                 F.col("l_cminx").alias("__lminx"), F.col("l_cminy").alias("__lminy"),
                 F.col("l_cmaxx").alias("__lmaxx"), F.col("l_cmaxy").alias("__lmaxy"))
-    r = right.select(F.col(right_id).alias("__rid"), F.col("geometry").alias("__rg"),
-                     "minx", "miny", "maxx", "maxy")
-    r = _cover_cells(r, gridsize, prefix="r_") \
+    r = _cover_cells(r_small, gridsize, prefix="r_") \
         .select("__rid", "__rg", "cell_key",
                 F.col("r_cminx").alias("__rminx"), F.col("r_cminy").alias("__rminy"),
                 F.col("r_cmaxx").alias("__rmaxx"), F.col("r_cmaxy").alias("__rmaxy"))
@@ -160,6 +187,60 @@ def sjoin_pairs(left: DataFrame, right: DataFrame, predicate: str = "intersects"
                   (F.col("__lmaxy") >= F.col("__rminy")), "inner") \
         .drop(r["cell_key"]) \
         .drop("__lmaxx", "__lmaxy", "__rmaxx", "__rmaxy")
+
+    anchor_sql = (
+        f"cast(floor((greatest(__lminx, __rminx) + {FALSE_EASTING}) / {g}) "
+        f"as bigint) * {1 << Y_BITS}"
+        f" + cast(floor(greatest(__lminy, __rminy) / {g}) as bigint)")
+
+    def _big_branch(big_side: DataFrame, other: DataFrame, big_is_left: bool
+                    ) -> DataFrame:
+        # LAZY: broadcast-hint join (BroadcastNestedLoop on the bbox theta
+        # condition).  No driver collect, no extra jobs at plan time; an
+        # empty big side costs one cheap filtered scan.  Huge-bbox rows are
+        # rare by nature, so the nested-loop side stays tiny.
+        bdf = F.broadcast(big_side)
+        if big_is_left:
+            j = other.crossJoin(bdf).where(
+                (F.col("bx0") - e <= F.col("maxx")) &
+                (F.col("bx1") + e >= F.col("minx")) &
+                (F.col("by0") - e <= F.col("maxy")) &
+                (F.col("by1") + e >= F.col("miny")))
+            out = j.select(F.col("id").alias("__lid"),
+                           F.col("g").alias("__lg"),
+                           (F.col("bx0") - e).alias("__lminx"),
+                           (F.col("by0") - e).alias("__lminy"),
+                           F.col("__rid"), F.col("__rg"),
+                           F.col("minx").alias("__rminx"),
+                           F.col("miny").alias("__rminy"))
+        else:
+            j = other.crossJoin(bdf).where(
+                (F.col("bx0") <= F.col("maxx") + e) &
+                (F.col("bx1") >= F.col("minx") - e) &
+                (F.col("by0") <= F.col("maxy") + e) &
+                (F.col("by1") >= F.col("miny") - e))
+            out = j.select(F.col("__lid"), F.col("__lg"),
+                           (F.col("minx") - e).alias("__lminx"),
+                           (F.col("miny") - e).alias("__lminy"),
+                           F.col("id").alias("__rid"),
+                           F.col("g").alias("__rg"),
+                           F.col("bx0").alias("__rminx"),
+                           F.col("by0").alias("__rminy"))
+        return out.withColumn("cell_key", F.expr(anchor_sql))
+
+    cand = cand.select("__lid", "__lg", "__lminx", "__lminy",
+                       "__rid", "__rg", "__rminx", "__rminy", "cell_key")
+    if l_big is not None:
+        cand = cand.unionByName(_big_branch(
+            l_big.selectExpr("__lid AS id", "__lg AS g", "minx AS bx0",
+                             "miny AS by0", "maxx AS bx1", "maxy AS by1"),
+            r0.select("__rid", "__rg", "minx", "miny", "maxx", "maxy"),
+            True))
+    cand = cand.unionByName(_big_branch(
+        r_big.selectExpr("__rid AS id", "__rg AS g", "minx AS bx0",
+                         "miny AS by0", "maxx AS bx1", "maxy AS by1"),
+        l_small.select("__lid", "__lg", "minx", "miny", "maxx", "maxy"),
+        False))
 
     lid_t = dict(zip(left.schema.names, [f.dataType.simpleString() for f in left.schema.fields]))[left_id]
     rid_t = dict(zip(right.schema.names, [f.dataType.simpleString() for f in right.schema.fields]))[right_id]
@@ -238,7 +319,15 @@ def _sjoin_pairs_broadcast(left: DataFrame, right: DataFrame, predicate: str,
     # == points; rect_flags on the parsed right geometries.
     from .geom.predicates import rect_flags
     r_rect, _rbounds = rect_flags(ra)
-    if (len(ra) == 0 or bool(r_rect.all())) and \
+    _g0 = float(gridsize)
+    _exp0 = expand
+    _nc = ((np.floor((rb[:, 2] + _exp0 + FALSE_EASTING) / _g0)
+            - np.floor((rb[:, 0] - _exp0 + FALSE_EASTING) / _g0) + 1)
+           * (np.floor((rb[:, 3] + _exp0) / _g0)
+              - np.floor((rb[:, 1] - _exp0) / _g0) + 1)) \
+        if len(rb) else np.zeros(0)
+    rights_all_small = bool((_nc <= MAX_COVER_CELLS).all())
+    if (len(ra) == 0 or bool(r_rect.all())) and rights_all_small and \
             predicate in ("within", "intersects", "covered_by", "dwithin") \
             and assume_left_points is not False:
         if assume_left_points:
@@ -260,19 +349,45 @@ def _sjoin_pairs_broadcast(left: DataFrame, right: DataFrame, predicate: str,
 
     bc = spark.sparkContext.broadcast((rid_to_idx, ra))
 
-    # right cover cells computed driver-side (small), shipped as a plain DF
-    gi, keys = cover_cell_keys(rb[:, 0], rb[:, 1], rb[:, 2], rb[:, 3], gridsize)
-    rcells = spark.createDataFrame(_pd.DataFrame({
-        "__rid": rids[gi] if len(gi) else rids[:0],
-        "cell_key": keys,
-        "__rminx": rb[gi, 0] if len(gi) else np.zeros(0),
-        "__rminy": rb[gi, 1] if len(gi) else np.zeros(0),
-        "__rmaxx": rb[gi, 2] if len(gi) else np.zeros(0),
-        "__rmaxy": rb[gi, 3] if len(gi) else np.zeros(0)}))
+    g = float(gridsize)
+    # split rights by cell-cover size: huge-bbox rows would explode the
+    # cover table, so they join by a plain bbox condition instead
+    ncells_r = ((np.floor((rb[:, 2] + FALSE_EASTING) / g)
+                 - np.floor((rb[:, 0] + FALSE_EASTING) / g) + 1)
+                * (np.floor(rb[:, 3] / g) - np.floor(rb[:, 1] / g) + 1)) \
+        if len(rb) else np.zeros(0)
+    small_m = ncells_r <= MAX_COVER_CELLS
+    rb_s, rids_s = rb[small_m], rids[small_m]
+    rb_b, rids_b = rb[~small_m], rids[~small_m]
 
-    l = left.select(F.col(left_id).alias("__lid"), F.col("geometry").alias("__lg"),
-                    "minx", "miny", "maxx", "maxy")
-    l = _cover_cells(l, gridsize, expand=expand, prefix="l_") \
+    gi, keys = cover_cell_keys(rb_s[:, 0], rb_s[:, 1], rb_s[:, 2],
+                               rb_s[:, 3], gridsize,
+                               max_cells_per_geom=MAX_COVER_CELLS)
+    rcells = spark.createDataFrame(_pd.DataFrame({
+        "__rid": rids_s[gi] if len(gi) else rids_s[:0],
+        "cell_key": keys,
+        "__rminx": rb_s[gi, 0] if len(gi) else np.zeros(0),
+        "__rminy": rb_s[gi, 1] if len(gi) else np.zeros(0),
+        "__rmaxx": rb_s[gi, 2] if len(gi) else np.zeros(0),
+        "__rmaxy": rb_s[gi, 3] if len(gi) else np.zeros(0)}))
+
+    # left side: huge-bbox lefts take a bbox join vs ALL rights (no cells)
+    ncells_l_sql = (
+        f"((cast(floor((maxx + {expand} + {FALSE_EASTING}) / {g}) as bigint)"
+        f" - cast(floor((minx - {expand} + {FALSE_EASTING}) / {g}) as bigint) + 1)"
+        f" * (cast(floor((maxy + {expand}) / {g}) as bigint)"
+        f" - cast(floor((miny - {expand}) / {g}) as bigint) + 1))")
+    l0 = left.select(F.col(left_id).alias("__lid"),
+                     F.col("geometry").alias("__lg"),
+                     "minx", "miny", "maxx", "maxy")
+    if assume_left_points and expand == 0.0:
+        # points cover exactly one cell — no big-left branch, no extra scan
+        l_small_b, l_big_b = l0, None
+    else:
+        l_small_b = l0.where(F.expr(f"{ncells_l_sql} <= {MAX_COVER_CELLS}"))
+        l_big_b = l0.where(F.expr(f"{ncells_l_sql} > {MAX_COVER_CELLS}"))
+
+    l = _cover_cells(l_small_b, gridsize, expand=expand, prefix="l_") \
         .select("__lid", "__lg", "cell_key",
                 F.col("l_cminx").alias("__lminx"), F.col("l_cminy").alias("__lminy"),
                 F.col("l_cmaxx").alias("__lmaxx"), F.col("l_cmaxy").alias("__lmaxy"))
@@ -284,6 +399,49 @@ def _sjoin_pairs_broadcast(left: DataFrame, right: DataFrame, predicate: str,
                   (F.col("__lmaxy") >= F.col("__rminy")), "inner") \
         .drop(rcells["cell_key"]) \
         .drop("__lmaxx", "__lmaxy", "__rmaxx", "__rmaxy")
+    cand = cand.select("__lid", "__lg", "__lminx", "__lminy",
+                       "__rid", "__rminx", "__rminy", "cell_key")
+
+    anchor_sql_b = (
+        f"cast(floor((greatest(__lminx, __rminx) + {FALSE_EASTING}) / {g}) "
+        f"as bigint) * {1 << Y_BITS}"
+        f" + cast(floor(greatest(__lminy, __rminy) / {g}) as bigint)")
+    extra = []
+    if len(rids_b):
+        rb_big_df = F.broadcast(spark.createDataFrame(_pd.DataFrame({
+            "__rid": rids_b, "__rbx0": rb_b[:, 0], "__rby0": rb_b[:, 1],
+            "__rbx1": rb_b[:, 2], "__rby1": rb_b[:, 3]})))
+        jb = l0.crossJoin(rb_big_df).where(
+            (F.col("__rbx0") <= F.col("maxx") + expand) &
+            (F.col("__rbx1") >= F.col("minx") - expand) &
+            (F.col("__rby0") <= F.col("maxy") + expand) &
+            (F.col("__rby1") >= F.col("miny") - expand))
+        extra.append(jb.select(
+            "__lid", "__lg",
+            (F.col("minx") - expand).alias("__lminx"),
+            (F.col("miny") - expand).alias("__lminy"),
+            "__rid", F.col("__rbx0").alias("__rminx"),
+            F.col("__rby0").alias("__rminy"))
+            .withColumn("cell_key", F.expr(anchor_sql_b)))
+    # big lefts vs SMALL rights only (big-right pairs already covered above)
+    if len(rids_s) and l_big_b is not None:
+        rs_df = F.broadcast(spark.createDataFrame(_pd.DataFrame({
+            "__rid": rids_s, "__rbx0": rb_s[:, 0], "__rby0": rb_s[:, 1],
+            "__rbx1": rb_s[:, 2], "__rby1": rb_s[:, 3]})))
+        jb2 = l_big_b.crossJoin(rs_df).where(
+            (F.col("__rbx0") <= F.col("maxx") + expand) &
+            (F.col("__rbx1") >= F.col("minx") - expand) &
+            (F.col("__rby0") <= F.col("maxy") + expand) &
+            (F.col("__rby1") >= F.col("miny") - expand))
+        extra.append(jb2.select(
+            "__lid", "__lg",
+            (F.col("minx") - expand).alias("__lminx"),
+            (F.col("miny") - expand).alias("__lminy"),
+            "__rid", F.col("__rbx0").alias("__rminx"),
+            F.col("__rby0").alias("__rminy"))
+            .withColumn("cell_key", F.expr(anchor_sql_b)))
+    for x in extra:
+        cand = cand.unionByName(x)
 
     lid_t = dict(zip(left.schema.names,
                      [f.dataType.simpleString() for f in left.schema.fields]))[left_id]

@@ -170,3 +170,33 @@ def test_zonal_misaligned_tiles(spark):
     inside = (px >= 2000) & (px <= 2260)
     want = int(inside.sum()) ** 2
     assert got[0]["count"] == want
+
+
+def test_huge_bbox_rows_routed(spark):
+    """Geometries whose bbox covers > MAX_COVER_CELLS cells must not
+    explode the cover table — they take the broadcast bbox-join branch
+    (both paths) and still produce exact pairs."""
+    pts = pd.DataFrame({
+        "pid": [0, 1, 2],
+        "geometry_wkt": ["POINT (5 5)", "POINT (7777 8888)",
+                         "POINT (999999 999999)"]})
+    polys = pd.DataFrame({
+        "zid": [0, 1],
+        # zid 0: country-sized (1e8 cells at gridsize 1)
+        "geometry_wkt": ["POLYGON ((0 0, 10000 0, 10000 10000, 0 10000, 0 0))",
+                         "POLYGON ((4 4, 6 4, 6 6, 4 6, 4 4))"]})
+    l = wkt_to_wkb_df(spark.createDataFrame(pts))
+    r = wkt_to_wkb_df(spark.createDataFrame(polys))
+    want = [(0, 0), (0, 1), (1, 0)]
+    for bcast in (False, True):
+        got = sorted((x.pid, x.zid) for x in
+                     sjoin_pairs(l, r, "intersects", left_id="pid",
+                                 right_id="zid", gridsize=1.0,
+                                 broadcast_right=bcast).collect())
+        assert got == want, (bcast, got)
+    # huge LEFT geometry too
+    got2 = sorted((x.zid, x.pid) for x in
+                  sjoin_pairs(r, l, "intersects", left_id="zid",
+                              right_id="pid", gridsize=1.0,
+                              broadcast_right=False).collect())
+    assert got2 == [(0, 0), (0, 1), (1, 0)]
