@@ -368,9 +368,17 @@ def points_in_polygons(polys: DataFrame, spacing: float, *,
     from .io import with_bounds
     spark = polys.sparkSession
     b = get_total_bounds(polys)
+    # pt_id from the INTEGER grid indices (ix * (ny+1) + iy) — collision-free
+    # for any spacing; deriving it from truncated coordinates collides for
+    # spacing < 1 and breaks sjoin_pairs' unique-id contract (round-2 advice).
+    x0, y0, x1, y1 = [float(v) for v in b]
+    s = float(spacing)
+    ny = int(np.floor((y1 - y0) / s))
     pts = points_in_bounds(spark, b, spacing) \
-        .withColumn("pt_id", F.expr(
-            "cast(x as bigint) * 1000003 + cast(y as bigint)"))
+        .withColumn("__ix", F.expr(f"cast(round((x - {x0}) / {s}) as bigint)")) \
+        .withColumn("__iy", F.expr(f"cast(round((y - {y0}) / {s}) as bigint)")) \
+        .withColumn("pt_id", F.expr(f"__ix * {ny + 1} + __iy")) \
+        .drop("__ix", "__iy")
     pts_g = pts.selectExpr("pt_id", "x AS minx", "y AS miny",
                            "x AS maxx", "y AS maxy")
     # point rows need WKB geometry for the refine kernel

@@ -75,6 +75,163 @@ def clip_ring_convex(subject: np.ndarray, clipper: np.ndarray) -> np.ndarray | N
     return ring
 
 
+def _halfplane_split(ring: np.ndarray, a: np.ndarray, b: np.ndarray
+                     ) -> list[np.ndarray] | None:
+    """Clip a CLOSED simple ring by the half-plane LEFT of a->b, correctly
+    splitting into multiple rings when the cut disconnects the subject.
+
+    Crossing points along the cut line, sorted by position, alternate
+    interior/exterior of the subject (Jordan), so consecutive sorted pairs
+    (2k, 2k+1) are exactly the cut-line segments on the clipped boundary;
+    each pair bridges an exit chain to an entry chain and the chains are
+    traced into closed rings.  Same crossing arithmetic as clip_ring_convex.
+
+    Returns a list of closed rings, or None when the pairing is degenerate
+    (tied crossing positions / non-alternating types — e.g. a subject vertex
+    exactly on the cut line at a crossing); callers fall back to the
+    Greiner–Hormann ladder then."""
+    d = (float(b[0] - a[0]), float(b[1] - a[1]))
+    pts = ring[:-1]
+    side = d[0] * (pts[:, 1] - a[1]) - d[1] * (pts[:, 0] - a[0])
+    inside = side >= 0
+    if inside.all():
+        return [ring]
+    if not inside.any():
+        return []
+    n = len(pts)
+    start = int(np.argmin(inside))  # an OUTSIDE vertex: chains never wrap
+    chains: list[list[np.ndarray]] = []
+    crossings: list[tuple[float, int, bool]] = []  # (s, chain_id, is_entry)
+    cur: list[np.ndarray] | None = None
+    for k in range(n):
+        j = (start + k) % n
+        jn = (start + k + 1) % n
+        if inside[j] and cur is not None:
+            cur.append(pts[j])
+        if inside[j] != inside[jn]:
+            denom = side[j] - side[jn]
+            t = side[j] / denom if denom != 0 else 0.0
+            cp = pts[j] + t * (pts[jn] - pts[j])
+            s = d[0] * (cp[0] - a[0]) + d[1] * (cp[1] - a[1])
+            if inside[jn]:  # entry: open a new chain
+                cur = [cp]
+                chains.append(cur)
+                crossings.append((float(s), len(chains) - 1, True))
+            else:           # exit: close the current chain
+                if cur is None:
+                    return None
+                cur.append(cp)
+                crossings.append((float(s), len(chains) - 1, False))
+                cur = None
+    if cur is not None or len(crossings) % 2 != 0:
+        return None
+    crossings.sort(key=lambda c: c[0])
+    nxt_chain: dict[int, int] = {}
+    for k in range(0, len(crossings), 2):
+        s0, c0, e0 = crossings[k]
+        s1, c1, e1 = crossings[k + 1]
+        if s0 == s1 or e0 == e1:
+            return None  # tie or non-alternating: degenerate
+        if e0:  # c0 entry, c1 exit: bridge exit(c1) -> entry(c0)
+            nxt_chain[c1] = c0
+        else:
+            nxt_chain[c0] = c1
+    out: list[np.ndarray] = []
+    seen: set[int] = set()
+    for c0 in range(len(chains)):
+        if c0 in seen:
+            continue
+        ring_pts: list[np.ndarray] = []
+        c = c0
+        while True:
+            if c in seen:
+                return None  # chain revisited before closing: inconsistent
+            seen.add(c)
+            ring_pts.extend(chains[c])
+            c = nxt_chain.get(c)
+            if c is None:
+                return None
+            if c == c0:
+                break
+        arr = np.asarray(ring_pts + [ring_pts[0]], dtype=np.float64)
+        if len(arr) >= 4 and abs(ring_area(arr)) > 0:
+            out.append(arr)
+    return out
+
+
+def clip_ring_convex_multi(subject: np.ndarray, clipper: np.ndarray
+                           ) -> list[np.ndarray]:
+    """Clip a simple closed ring by a convex CCW clipper, SPLITTING into
+    multiple simple rings when the clip disconnects a concave subject
+    (plain Sutherland–Hodgman instead emits one weakly-simple ring with
+    zero-width bridges — invalid geometry, round-2 advice).  Raises
+    DegenerateIntersection on tied/non-alternating crossings; callers fall
+    back to ring_boolean's robustness ladder."""
+    cl = ensure_ccw(ensure_closed(clipper))
+    rings = [ensure_ccw(ensure_closed(subject))]
+    for i in range(len(cl) - 1):
+        nxt: list[np.ndarray] = []
+        for r in rings:
+            pieces = _halfplane_split(r, cl[i], cl[i + 1])
+            if pieces is None:
+                raise DegenerateIntersection("half-plane split pairing")
+            nxt.extend(pieces)
+        rings = nxt
+        if not rings:
+            return []
+    # clean residual coincident-vertex pinches (crossing exactly at a vertex)
+    out: list[np.ndarray] = []
+    for r in rings:
+        if ring_has_repeats(r):
+            out.extend(ensure_ccw(p) for p in split_pinched_ring(r))
+        else:
+            out.append(ensure_ccw(r))
+    return out
+
+
+def ring_has_repeats(ring: np.ndarray) -> bool:
+    """True if the CLOSED ring revisits a vertex (beyond the closing
+    duplicate) — the signature of Sutherland–Hodgman's zero-width bridges
+    when a convex clip splits a concave subject into disconnected pieces."""
+    pts = ring[:-1]
+    return len(np.unique(pts, axis=0)) < len(pts)
+
+
+def split_pinched_ring(ring: np.ndarray) -> list[np.ndarray]:
+    """Split a weakly-simple CLOSED ring into simple closed rings at repeated
+    vertices.  SH clipping of a concave subject that the clipper cuts into k
+    disconnected pieces emits ONE ring that walks all pieces connected by
+    zero-width bridges along the clip boundary; the bridge endpoints are
+    bitwise-equal repeats (the clip kernel writes exact-on-bound
+    coordinates), so splitting at repeats recovers the k simple pieces.
+    Zero-area loops (the bridges / spurs) are dropped.  Exact same areas as
+    the input ring; geometry becomes valid (round-2 advice)."""
+    pts = [(float(p[0]), float(p[1])) for p in ring[:-1]]
+    out: list[np.ndarray] = []
+    stack: list[tuple] = []
+    pos: dict[tuple, int] = {}
+    for p in pts:
+        if stack and p == stack[-1]:
+            continue  # consecutive duplicate
+        if p in pos:
+            i = pos[p]
+            loop = stack[i:]
+            arr = np.asarray(loop + [loop[0]], dtype=np.float64)
+            if len(arr) >= 4 and abs(ring_area(arr)) > 0:
+                out.append(arr)
+            for q in loop[1:]:
+                pos.pop(q, None)
+            stack = stack[:i + 1]
+        else:
+            pos[p] = len(stack)
+            stack.append(p)
+    if len(stack) >= 3:
+        arr = np.asarray(stack + [stack[0]], dtype=np.float64)
+        if abs(ring_area(arr)) > 0:
+            out.append(arr)
+    return out
+
+
 def is_convex(ring: np.ndarray) -> bool:
     r = ensure_ccw(ensure_closed(ring))[:-1]
     a = np.roll(r, -1, axis=0) - r
@@ -399,14 +556,21 @@ def polygon_boolean(parts_a: list[list[np.ndarray]],
             for pb in parts_b:
                 # convex-clipper fast path (Sutherland–Hodgman): exact for
                 # the dominant rectangle/convex cases, no degeneracy ladder
-                if is_convex(pb[0]):
+                if is_convex(pa[0]) and is_convex(pb[0]):
+                    # convex x convex: single connected output guaranteed
                     r = clip_ring_convex(ensure_closed(pa[0]),
                                          ensure_closed(pb[0]))
                     rs = [ensure_ccw(r)] if r is not None else []
-                elif is_convex(pa[0]):
-                    r = clip_ring_convex(ensure_closed(pb[0]),
-                                         ensure_closed(pa[0]))
-                    rs = [ensure_ccw(r)] if r is not None else []
+                elif is_convex(pb[0]) or is_convex(pa[0]):
+                    # concave subject x convex clipper: half-plane clipping
+                    # with proper multi-piece splitting; GH ladder on
+                    # degenerate crossings
+                    subj, clp = ((pa[0], pb[0]) if is_convex(pb[0])
+                                 else (pb[0], pa[0]))
+                    try:
+                        rs = clip_ring_convex_multi(subj, clp)
+                    except DegenerateIntersection:
+                        rs = ring_boolean(pa[0], pb[0], "intersection")
                 else:
                     rs = ring_boolean(pa[0], pb[0], "intersection")
                 out_rings.extend(rs)
@@ -558,6 +722,56 @@ def clip_rings_by_rects_batch(P: np.ndarray, C: np.ndarray,
     P, C = _clip_pass_axis(P, C, 1, rects[:, 1], True)   # y >= y0
     P, C = _clip_pass_axis(P, C, 1, rects[:, 3], False)  # y <= y1
     return P, C
+
+
+def padded_rings_have_repeats(P: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """bool[n]: which padded OPEN rings revisit a vertex — batched (complex
+    sort per row; invalid slots filled with unique sentinels so padding
+    never collides)."""
+    n, L, _ = P.shape
+    j = np.arange(L)
+    invalid = j[None, :] >= C[:, None]
+    key = P[:, :, 0] + 1j * P[:, :, 1]
+    key = np.where(invalid, np.inf + 1j * j[None, :], key)
+    skey = np.sort(key, axis=1)
+    if L < 2:
+        return np.zeros(n, dtype=bool)
+    return (skey[:, 1:] == skey[:, :-1]).any(axis=1)
+
+
+def padded_rect_clip_split_flags(P: np.ndarray, C: np.ndarray,
+                                 rects: np.ndarray) -> np.ndarray:
+    """bool[n]: which SH-clipped padded OPEN rings contain two OVERLAPPING
+    collinear edges on a clip-rect boundary.  A simple traced ring cannot
+    have overlapping edges, so (this | padded_rings_have_repeats) exactly
+    characterizes outputs that enclose disconnected pieces joined by
+    zero-width bridges.  Fully batched: per boundary, project on-boundary
+    edges to 1-D intervals, sort by lo, flag cummax(hi) > next lo."""
+    n, L, _ = P.shape
+    if n == 0 or L < 2:
+        return np.zeros(n, dtype=bool)
+    j = np.arange(L)
+    valid = j[None, :] < C[:, None]
+    nxt = np.where(j[None, :] + 1 >= C[:, None], 0, j[None, :] + 1)
+    Pn = np.take_along_axis(P, nxt[:, :, None], axis=1)
+    flags = np.zeros(n, dtype=bool)
+    for axis, bidx in ((0, 0), (0, 2), (1, 1), (1, 3)):
+        bound = rects[:, bidx]
+        on = valid & (P[:, :, axis] == bound[:, None]) \
+            & (Pn[:, :, axis] == bound[:, None])
+        if not on.any():
+            continue
+        o = 1 - axis
+        lo = np.where(on, np.minimum(P[:, :, o], Pn[:, :, o]), np.inf)
+        hi = np.where(on, np.maximum(P[:, :, o], Pn[:, :, o]), np.inf)
+        order = np.argsort(lo, axis=1, kind="stable")
+        lo_s = np.take_along_axis(lo, order, axis=1)
+        hi_s = np.take_along_axis(hi, order, axis=1)
+        cum = np.maximum.accumulate(hi_s, axis=1)
+        # strict >: merely-touching endpoints are the repeated-vertex case
+        ov = (cum[:, :-1] > lo_s[:, 1:]) & np.isfinite(lo_s[:, 1:])
+        flags |= ov.any(axis=1)
+    return flags
 
 
 def padded_ring_areas(P: np.ndarray, C: np.ndarray) -> np.ndarray:

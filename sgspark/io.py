@@ -185,10 +185,16 @@ def read_geopandas(spark, paths, *, mask=None, filters=None,
                     twin of the reference's file-level bbox pruning);
       filters       pyarrow-style tuple filters -> Catalyst pushdown;
       columns       projection (column pruning reaches the scan);
-      partition_grid  (column, gridsize) of a hive partition layout written
-                    by write_geoparquet(partition_cols=[column]) — the mask
-                    additionally prunes whole partition DIRECTORIES via a
-                    range predicate on that column.
+      partition_grid  (column, gridsize[, max_extent]) of a hive partition
+                    layout written by write_geoparquet(partition_cols=
+                    [column]) — the mask additionally prunes whole partition
+                    DIRECTORIES via a range predicate on that column.  The
+                    partition column is derived from each row's MINX, so a
+                    wide geometry whose minx falls below the mask lives in a
+                    lower band: pass max_extent = the largest geometry width
+                    in the layer and the lower bound is widened by it
+                    (round-2 advice).  The default max_extent=0 is only safe
+                    for point layers / extent-bounded partitioning.
     """
     paths = [paths] if isinstance(paths, str) else list(paths)
     df = spark.read.parquet(*paths)
@@ -199,8 +205,9 @@ def read_geopandas(spark, paths, *, mask=None, filters=None,
         df = df.where((F.col("minx") <= mx1) & (F.col("maxx") >= mx0) &
                       (F.col("miny") <= my1) & (F.col("maxy") >= my0))
         if partition_grid is not None:
-            pcol, g = partition_grid
-            lo = int(np.floor(mx0 / float(g)))
+            pcol, g, *rest = partition_grid
+            margin = float(rest[0]) if rest else 0.0
+            lo = int(np.floor((mx0 - margin) / float(g)))
             hi = int(np.floor(mx1 / float(g)))
             df = df.where(F.col(pcol).between(lo, hi))
     if columns:

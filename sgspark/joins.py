@@ -98,54 +98,25 @@ def _collect_bounded(df: DataFrame, max_bytes: int, geom_pos: int = 1
     return rows
 
 
-def sjoin_pairs(left: DataFrame, right: DataFrame, predicate: str = "intersects",
-                *, left_id: str = "left_id", right_id: str = "right_id",
-                distance: float | None = None, gridsize: float = DEFAULT_GRIDSIZE,
-                keep_distance: bool = False,
-                broadcast_right: bool | None = None,
-                assume_left_points: bool | None = None) -> DataFrame:
-    """Candidate generation + refine.  Inputs must carry
-    (id, geometry WKB, minx, miny, maxx, maxy); ids must be unique.
+def cell_candidate_pairs(l0: DataFrame, r0: DataFrame, gridsize: float,
+                         expand: float = 0.0,
+                         assume_left_points: bool | None = None) -> DataFrame:
+    """Shared candidate generator for every cell-join kernel (sjoin_pairs and
+    the fused clean_overlay path): cover-cells equi-join with the bbox
+    overlap as a JVM join filter, plus HUGE-GEOMETRY ROUTING.
 
-    Returns DataFrame[left_id, right_id(, distance double)].
-    Predicate semantics match the reference's STRtree predicates
-    (`runners.py:180-181`); `within` is rewritten as inverse contains
-    (`sfilter.py:311-328`) inside the kernel.
+    A row whose (expanded) bbox covers more than MAX_COVER_CELLS cells would
+    make the sequence() cover explode blow up (a country-sized polygon at a
+    city-sized gridsize).  Such rows are rare by nature, so they take a lazy
+    broadcast bbox-join branch against the ENTIRE other side (no cells); the
+    branch synthesizes cell_key = the anchor expression, so the downstream
+    kernel's anchor dedup passes each pair through exactly once.
 
-    broadcast_right (auto when None, on iff |right| <= BROADCAST_RIGHT_MAX):
-    parse the right geometries ONCE on the driver and broadcast the parsed
-    GeomArray; candidate rows then carry only ids — cutting Arrow traffic
-    through the refine kernel by ~4x.  The big-right path ships WKB through
-    the join instead (fully distributed, no driver materialization).
-    """
-    from .crs import require_same_crs
-    require_same_crs(left, right)  # analysis-time; untagged frames pass
-
-    need_dist = keep_distance or predicate == "dwithin"
-    expand = float(distance or 0.0) if predicate == "dwithin" else 0.0
-
-    if broadcast_right is not False:
-        sel = right.select(right_id, "geometry", "minx", "miny",
-                           "maxx", "maxy")
-        if broadcast_right:  # explicit: no cap, caller takes responsibility
-            rows = sel.collect()
-        else:  # auto: byte-bounded probe, no eager count job
-            rows = _collect_bounded(sel, BROADCAST_RIGHT_MAX_BYTES)
-        if rows is not None:
-            return _sjoin_pairs_broadcast(left, right, predicate, rows,
-                                          left_id=left_id, right_id=right_id,
-                                          distance=distance,
-                                          gridsize=gridsize,
-                                          keep_distance=keep_distance,
-                                          assume_left_points=assume_left_points)
-
-    # HUGE-GEOMETRY ROUTING: a row whose (expanded) bbox covers more than
-    # MAX_COVER_CELLS cells would make the sequence() cover explode blow up
-    # (a country-sized polygon at a city-sized gridsize).  Such rows are
-    # rare by nature, so they take a broadcast bbox-join branch against the
-    # ENTIRE other side (no cells; the same refine kernel runs on the union
-    # because the branch synthesizes cell_key = the anchor expression, so
-    # the kernel's anchor dedup passes each pair through exactly once).
+    Inputs: l0 = (__lid, __lg, minx, miny, maxx, maxy), r0 likewise with
+    __rid/__rg.  Output columns: (__lid, __lg, __lminx, __lminy, __rid,
+    __rg, __rminx, __rminy, cell_key) honoring the anchor-dedup contract
+    (cell_key == cell of the lower-left corner of the cover-bbox
+    intersection exactly once per true candidate pair)."""
     g = float(gridsize)
     e = float(expand)
 
@@ -155,12 +126,6 @@ def sjoin_pairs(left: DataFrame, right: DataFrame, predicate: str = "intersects"
                 f" * (cast(floor((maxy + {pre_e}) / {g}) as bigint)"
                 f" - cast(floor((miny - {pre_e}) / {g}) as bigint) + 1))")
 
-    l0 = left.select(F.col(left_id).alias("__lid"),
-                     F.col("geometry").alias("__lg"),
-                     "minx", "miny", "maxx", "maxy")
-    r0 = right.select(F.col(right_id).alias("__rid"),
-                      F.col("geometry").alias("__rg"),
-                      "minx", "miny", "maxx", "maxy")
     if assume_left_points and e == 0.0:
         l_small, l_big = l0, None  # points cover one cell; skip the branch
     else:
@@ -241,6 +206,58 @@ def sjoin_pairs(left: DataFrame, right: DataFrame, predicate: str = "intersects"
                          "miny AS by0", "maxx AS bx1", "maxy AS by1"),
         l_small.select("__lid", "__lg", "minx", "miny", "maxx", "maxy"),
         False))
+    return cand
+
+
+def sjoin_pairs(left: DataFrame, right: DataFrame, predicate: str = "intersects",
+                *, left_id: str = "left_id", right_id: str = "right_id",
+                distance: float | None = None, gridsize: float = DEFAULT_GRIDSIZE,
+                keep_distance: bool = False,
+                broadcast_right: bool | None = None,
+                assume_left_points: bool | None = None) -> DataFrame:
+    """Candidate generation + refine.  Inputs must carry
+    (id, geometry WKB, minx, miny, maxx, maxy); ids must be unique.
+
+    Returns DataFrame[left_id, right_id(, distance double)].
+    Predicate semantics match the reference's STRtree predicates
+    (`runners.py:180-181`); `within` is rewritten as inverse contains
+    (`sfilter.py:311-328`) inside the kernel.
+
+    broadcast_right (auto when None, on iff |right| <= BROADCAST_RIGHT_MAX):
+    parse the right geometries ONCE on the driver and broadcast the parsed
+    GeomArray; candidate rows then carry only ids — cutting Arrow traffic
+    through the refine kernel by ~4x.  The big-right path ships WKB through
+    the join instead (fully distributed, no driver materialization).
+    """
+    from .crs import require_same_crs
+    require_same_crs(left, right)  # analysis-time; untagged frames pass
+
+    need_dist = keep_distance or predicate == "dwithin"
+    expand = float(distance or 0.0) if predicate == "dwithin" else 0.0
+
+    if broadcast_right is not False:
+        sel = right.select(right_id, "geometry", "minx", "miny",
+                           "maxx", "maxy")
+        if broadcast_right:  # explicit: no cap, caller takes responsibility
+            rows = sel.collect()
+        else:  # auto: byte-bounded probe, no eager count job
+            rows = _collect_bounded(sel, BROADCAST_RIGHT_MAX_BYTES)
+        if rows is not None:
+            return _sjoin_pairs_broadcast(left, right, predicate, rows,
+                                          left_id=left_id, right_id=right_id,
+                                          distance=distance,
+                                          gridsize=gridsize,
+                                          keep_distance=keep_distance,
+                                          assume_left_points=assume_left_points)
+
+    l0 = left.select(F.col(left_id).alias("__lid"),
+                     F.col("geometry").alias("__lg"),
+                     "minx", "miny", "maxx", "maxy")
+    r0 = right.select(F.col(right_id).alias("__rid"),
+                      F.col("geometry").alias("__rg"),
+                      "minx", "miny", "maxx", "maxy")
+    cand = cell_candidate_pairs(l0, r0, gridsize, expand=expand,
+                                assume_left_points=assume_left_points)
 
     lid_t = dict(zip(left.schema.names, [f.dataType.simpleString() for f in left.schema.fields]))[left_id]
     rid_t = dict(zip(right.schema.names, [f.dataType.simpleString() for f in right.schema.fields]))[right_id]

@@ -184,18 +184,24 @@ def get_route(edges: DataFrame, origins: DataFrame, destinations: DataFrame,
         out = out.unionByName(p)
     from pyspark.sql import Window
     w = Window.partitionBy("oid", "did").orderBy(F.col("__back").desc())
-    w_len = Window.partitionBy("oid", "did")
+    # per-edge cost lookup: DIRECTED networks join the original directed edge
+    # list only — unioning reverses would report min(FT, TF) instead of the
+    # cost of the direction actually traveled (round-2 advice; asymmetric
+    # minute_cols FT/TF case of make_directed_network).  Undirected networks
+    # may traverse an edge either way, so both orientations are unioned.
+    fwd = edges.groupBy("source", "target").agg(F.min(weight).alias("cost"))
+    if directed:
+        edge_costs = fwd
+    else:
+        edge_costs = (fwd.unionByName(
+            edges.groupBy(F.col("target").alias("source"),
+                          F.col("source").alias("target"))
+            .agg(F.min(weight).alias("cost")))
+            .groupBy("source", "target").agg(F.min("cost").alias("cost")))
     return (out
             .withColumn("seq", F.row_number().over(w))
             .drop("__back")
-            .join(edges.groupBy("source", "target")
-                  .agg(F.min(weight).alias("cost"))
-                  .unionByName(
-                      edges.groupBy(F.col("target").alias("source"),
-                                    F.col("source").alias("target"))
-                      .agg(F.min(weight).alias("cost")))
-                  .groupBy("source", "target").agg(F.min("cost").alias("cost")),
-                  ["source", "target"], "left")
+            .join(edge_costs, ["source", "target"], "left")
             .select("oid", "did", "seq", "source", "target", "cost"))
 
 

@@ -33,10 +33,11 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from .geom.clip import (clip_rings_by_rects_batch, padded_ring_areas,
-                        polygon_boolean, ring_area)
+                        padded_rect_clip_split_flags,
+                        padded_rings_have_repeats, polygon_boolean, ring_area)
 from .geom.array import MULTIPOLYGON, POLYGON, GeomArray, from_rings
 from .geom.wkb import from_wkb, single_ring_polygons_wkb, to_wkb
-from .joins import _cover_cells, sjoin_pairs
+from .joins import cell_candidate_pairs, sjoin_pairs
 from .cells import FALSE_EASTING, Y_BITS
 
 HOWS = ("intersection", "union", "identity", "symmetric_difference",
@@ -135,15 +136,49 @@ def _intersect_batch(pdf: pd.DataFrame, id1: str, rid: str,
         if flip.any():
             for k in np.nonzero(flip)[0]:  # rare; WKB exteriors are CCW
                 P[k, :C[k]] = P[k, :C[k]][::-1]
-        Po, Co = clip_rings_by_rects_batch(P, C, rect_b[rect_idx[i]])
+        rects_i = rect_b[rect_idx[i]]
+        Po, Co = clip_rings_by_rects_batch(P, C, rects_i)
         areas = padded_ring_areas(Po, Co)
         keep = (Co >= 3) & (np.abs(areas) > 0)
-        j = i[keep]
+        # a clipped ring that revisits a vertex OR has overlapping collinear
+        # boundary edges is a concave subject the rect cut into disconnected
+        # pieces — SH's single ring would be invalid (zero-width bridges);
+        # those rare rows re-clip through the splitting half-plane kernel
+        # (round-2 advice)
+        pinched = keep & (padded_rings_have_repeats(Po, Co)
+                          | padded_rect_clip_split_flags(Po, Co, rects_i))
+        simple = keep & ~pinched
+        j = i[simple]
         if len(j):
             frames.append(pd.DataFrame({
                 id1: pdf[id1].to_numpy()[j],
                 rid: pdf[rid].to_numpy()[j],
-                "geometry": single_ring_polygons_wkb(Po[keep], Co[keep])}))
+                "geometry": single_ring_polygons_wkb(Po[simple], Co[simple])}))
+        if pinched.any():
+            from .geom.clip import (DegenerateIntersection,
+                                    clip_ring_convex_multi, ensure_ccw,
+                                    ring_boolean)
+            rows_k = np.nonzero(pinched)[0]
+            wkbs = []
+            for k in rows_k:
+                subj = np.vstack([P[k, :C[k]], P[k, :1]])
+                x0, y0, x1, y1 = rects_i[k]
+                rring = np.array([[x0, y0], [x1, y0], [x1, y1],
+                                  [x0, y1], [x0, y0]])
+                try:
+                    pieces = clip_ring_convex_multi(subj, rring)
+                except DegenerateIntersection:
+                    pieces = [ensure_ccw(r) for r in
+                              ring_boolean(subj, rring, "intersection")
+                              if ring_area(r) != 0]
+                wkbs.append(_parts_to_wkb([[p] for p in pieces]))
+            ok = [m for m, w in enumerate(wkbs) if w is not None]
+            if ok:
+                jd = i[rows_k[ok]]
+                frames.append(pd.DataFrame({
+                    id1: pdf[id1].to_numpy()[jd],
+                    rid: pdf[rid].to_numpy()[jd],
+                    "geometry": [wkbs[m] for m in ok]}))
     if tier3.any():
         idx3 = np.nonzero(tier3)[0]
         pair_code = li[idx3] * np.int64(len(ru)) + ri[idx3]
@@ -182,28 +217,15 @@ def _intersection_rows(df1, df2, id1, id2, gridsize) -> DataFrame:
              if f.name == id2][0]
     schema = f"{id1} {id1_t}, {rid} {id2_t}, geometry binary"
 
-    l = df1.select(F.col(id1).alias("__lid"),
-                   F.col("geometry").alias("__g1"), *_BBOX)
-    l = _cover_cells(l, gridsize, prefix="l_") \
-        .select("__lid", "__g1", "cell_key",
-                F.col("l_cminx").alias("__lminx"),
-                F.col("l_cminy").alias("__lminy"),
-                F.col("l_cmaxx").alias("__lmaxx"),
-                F.col("l_cmaxy").alias("__lmaxy"))
-    r = df2.select(F.col(id2).alias("__rid"),
-                   F.col("geometry").alias("__g2"), *_BBOX)
-    r = _cover_cells(r, gridsize, prefix="r_") \
-        .select("__rid", "__g2", "cell_key",
-                F.col("r_cminx").alias("__rminx"),
-                F.col("r_cminy").alias("__rminy"),
-                F.col("r_cmaxx").alias("__rmaxx"),
-                F.col("r_cmaxy").alias("__rmaxy"))
-    cand = l.join(r, (l["cell_key"] == r["cell_key"]) &
-                  (F.col("__lminx") <= F.col("__rmaxx")) &
-                  (F.col("__lmaxx") >= F.col("__rminx")) &
-                  (F.col("__lminy") <= F.col("__rmaxy")) &
-                  (F.col("__lmaxy") >= F.col("__rminy")), "inner") \
-        .drop(r["cell_key"])
+    # shared candidate generator — includes the huge-bbox broadcast branch,
+    # so a country-sized polygon never explodes the sequence() cell cover
+    # here either (round-2 advice; same MAX_COVER_CELLS routing as
+    # sjoin_pairs)
+    l0 = df1.select(F.col(id1).alias("__lid"),
+                    F.col("geometry").alias("__lg"), *_BBOX)
+    r0 = df2.select(F.col(id2).alias("__rid"),
+                    F.col("geometry").alias("__rg"), *_BBOX)
+    cand = cell_candidate_pairs(l0, r0, gridsize)
 
     g = float(gridsize)
 
@@ -222,7 +244,8 @@ def _intersection_rows(df1, df2, id1, id2, gridsize) -> DataFrame:
             if len(pdf) == 0:
                 continue
             pdf = pdf.rename(columns={"__lid": id1, "__rid": rid})
-            out = _intersect_batch(pdf, id1, rid)
+            out = _intersect_batch(pdf, id1, rid,
+                                   g1col="__lg", g2col="__rg")
             if out is not None:
                 yield out
 
