@@ -223,6 +223,38 @@ def q_overlay_concave_diff(spark, sf_dir):
     return _area_rows(diff.select("aid", "geometry"), ["aid"])
 
 
+def q_buffdiss(spark, sf_dir):
+    """buffer(CONCAVE L-shapes, trimmed-offset kernel) -> dissolve by band
+    -> explode (`buffdissexp`, reference buffer_dissolve_explode.py:50-185).
+
+    Buffered Ls are pairwise disjoint by grid construction (gap >= 4 >
+    2*1.5), so each exploded part's Minkowski area is analytic:
+    A + P*r + 5*sector(r) - r^2 (5 convex right angles, 1 reflex).  The
+    engine subtracts the arc sectors and the reflex correction from its own
+    measured area, leaving adj_area = A + P*r = s*bb + aa*(s-bb) + 6*s —
+    pure integer arithmetic the DuckDB oracle reproduces with no libm."""
+    from sgspark.dissolve import buffdissexp
+    import numpy as np
+    a, _ = _lshape_layers(spark, sf_dir)
+    a = a.withColumn("band", F.expr("aid div 40")) \
+         .select("band", "geometry", "minx", "miny", "maxx", "maxy")
+    out = buffdissexp(a, 1.5, by=["band"], quad_segs=8)
+    sector = 0.5 * 1.5 * 1.5 * float(np.sin((np.pi / 2) / 8)) * 8
+    corr = 5 * sector - 1.5 * 1.5
+
+    def kernel(batches):
+        from sgspark.geom.wkb import from_wkb
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ga = from_wkb(pdf["geometry"].tolist())
+            o = pdf[["band"]].copy()
+            o["adj_area"] = (ga.area() - corr).round(6)
+            yield o
+
+    return out.mapInPandas(kernel, schema="band long, adj_area double")
+
+
 def q_gridloop_tile_counts(spark, sf_dir):
     import pandas as pd
     from sgspark.tiling import gridloop, grid_id_expr
@@ -513,6 +545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlay_intersection": q_overlay_intersection,
         "overlay_concave": q_overlay_concave,
         "overlay_concave_diff": q_overlay_concave_diff,
+        "buffdiss": q_buffdiss,
         "gridloop_tile_counts": q_gridloop_tile_counts,
         "zone_clusters": q_zone_clusters,
         "zone_dissolve": q_zone_dissolve,
@@ -648,6 +681,15 @@ def oracle_sql() -> dict[str, str]:
         "overlay_intersection": _overlay_oracle(),
         "overlay_concave": _concave_oracle("intersection"),
         "overlay_concave_diff": _concave_oracle("difference"),
+        "buffdiss": f"""
+            SELECT c_custkey // 40 AS band,
+                   round(CAST(s * bb + aa * (s - bb) + 6 * s AS DOUBLE), 6)
+                   AS adj_area
+            FROM (SELECT c_custkey,
+                         {_LA['s'].replace('div', '//')} AS s,
+                         {_LA['aa'].replace('div', '//')} AS aa,
+                         {_LA['bb'].replace('div', '//')} AS bb
+                  FROM customer)""",
         "crs_roundtrip": f"""
             SELECT doc_id, round(CAST({PX} AS DOUBLE), 3) AS x_mm,
                    round(CAST({PY} AS DOUBLE), 3) AS y_mm

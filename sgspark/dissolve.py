@@ -188,13 +188,13 @@ def dissexp(df: DataFrame, by: list[str] | None = None, **kw) -> DataFrame:
 
 
 def buffdiss(df: DataFrame, distance: float, by: list[str] | None = None,
-             **kw) -> DataFrame:
-    return diss(buff(df, distance), by, **kw)
+             *, quad_segs: int = 30, **kw) -> DataFrame:
+    return diss(buff(df, distance, quad_segs=quad_segs), by, **kw)
 
 
 def buffdissexp(df: DataFrame, distance: float, by: list[str] | None = None,
-                **kw) -> DataFrame:
-    return dissexp(buff(df, distance), by, **kw)
+                *, quad_segs: int = 30, **kw) -> DataFrame:
+    return dissexp(buff(df, distance, quad_segs=quad_segs), by, **kw)
 
 
 def dissexp_by_cluster(df: DataFrame, by: list[str] | None = None, *,

@@ -6,22 +6,20 @@ max_distance joins).  Without GEOS we provide:
 
   * point buffer  — exact regular 4*quad_segs-gon inscribed approximation of
     the circle, same discretization contract as GEOS (vertices ON the circle).
-  * polygon/line "ring expansion" for join candidate generation — candidate
-    radius handling is done in cell space (expand bbox by distance), which is
-    what the distance joins actually need; an exact rounded-offset polygon
-    buffer is only required for geometry OUTPUT, implemented for convex rings
-    (edge offset + circular arcs at vertices).
-
-Concave-polygon exact buffers are out of scope this round (would need a full
-offset-curve algorithm); the engine raises so callers fall back to the
-distance-based join path, which is exact.
+  * convex ring fast paths — edge offset + circular arcs (positive) and
+    exact half-plane erosion (negative), no trimming pass needed;
+  * the general trimmed-offset kernel (geom/offset.py) for concave / holed
+    polygons and lines — raw offset curve, exact self-crossing insertion,
+    distance-based trimming, loop tracing (the GEOS buffer construction
+    re-expressed in numpy).
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-from .array import GeomArray, POLYGON, from_rings, points as make_points
+from .array import (GeomArray, MULTIPOLYGON, POLYGON, from_rings,
+                    points as make_points)
 
 
 def point_buffer(xy: np.ndarray, radius, quad_segs: int = 30) -> GeomArray:
@@ -138,12 +136,34 @@ def convex_ring_erode(ring: np.ndarray, dist: float) -> np.ndarray | None:
     return np.vstack([poly, poly[:1]])
 
 
+def _parts_of(ga: GeomArray, g: int) -> list[list[np.ndarray]]:
+    parts = []
+    p0, p1 = ga.geom_offsets[g], ga.geom_offsets[g + 1]
+    for p in range(p0, p1):
+        r0, r1 = ga.part_offsets[p], ga.part_offsets[p + 1]
+        parts.append([ga.coords[ga.ring_offsets[r]:ga.ring_offsets[r + 1]]
+                      for r in range(r0, r1)])
+    return parts
+
+
 def buffer(ga: GeomArray, dist, quad_segs: int = 30) -> GeomArray:
-    """Buffer a GeomArray. Points: exact n-gon. Convex hole-free polygons:
-    offset+arc (positive dist) or exact half-plane erosion (negative dist —
-    geometries whose erosion is empty are dropped to empty polygons).
-    Others: NotImplementedError (distance joins don't need geometry buffers;
-    polygons WITH HOLES raise rather than silently dropping the holes)."""
+    """Buffer a GeomArray — ALL geometry families (reference `buff`,
+    buffer_dissolve_explode.py:523-558, resolution=quad_segs).
+
+      points                exact 4*quad_segs-gon (vertices ON the circle)
+      convex hole-free      offset+arc (positive) / exact half-plane
+      polygons              erosion (negative) — no trimming pass needed
+      concave / holed       trimmed-offset kernel (geom/offset.py): raw
+      polygons, any sign    offset curve + exact self-crossing split +
+                            distance trim; holes erode/dilate per ring
+      lines (positive)      trimmed-offset with round caps and joins
+
+    Geometries whose (negative) buffer is empty are dropped to empty
+    polygons, like GEOS."""
+    from .offset import buffer_polygon, dilate_line
+    from .clip import union_many
+    from . import array as _arr
+
     dist = np.broadcast_to(np.asarray(dist, dtype=np.float64), (len(ga),))
     kinds = ga.kinds
     counts = ga.coords_count_per_geom()
@@ -152,39 +172,56 @@ def buffer(ga: GeomArray, dist, quad_segs: int = 30) -> GeomArray:
         return point_buffer(ga.coords[starts], dist, quad_segs)
     ring_lists, out_kinds = [], []
     for g in range(len(ga)):
-        if counts[g] == 1:
-            if dist[g] < 0:
+        d = float(dist[g])
+        kind = int(kinds[g])
+        if counts[g] == 1 or kind in (_arr.POINT, _arr.MULTIPOINT):
+            if d <= 0:
                 ring_lists.append([])
                 out_kinds.append(POLYGON)
                 continue
-            s = ga.coords_start_per_geom()[g]
-            pb = point_buffer(ga.coords[s:s + 1], dist[g:g + 1], quad_segs)
-            ring_lists.append([[pb.coords]])
-            out_kinds.append(POLYGON)
+            pts_xy = np.concatenate(ga.rings_of_geom(g))
+            pb = point_buffer(pts_xy, d, quad_segs)
+            parts = [[pb.coords[pb.ring_offsets[k]:pb.ring_offsets[k + 1]]]
+                     for k in range(len(pts_xy))]
+            if len(parts) > 1:
+                parts = union_many(parts)
+            ring_lists.append(parts)
+            out_kinds.append(POLYGON if len(parts) == 1 else MULTIPOLYGON)
             continue
-        if int(kinds[g]) != POLYGON:
-            raise NotImplementedError(
-                "buffer of non-point, non-convex-polygon geometries is not "
-                "supported without GEOS; use distance-based joins instead")
+        if kind in (_arr.LINESTRING, _arr.MULTILINESTRING):
+            if d <= 0:
+                ring_lists.append([])
+                out_kinds.append(POLYGON)
+                continue
+            parts = []
+            for line in ga.rings_of_geom(g):
+                parts.extend([loop] for loop in
+                             dilate_line(line, d, quad_segs))
+            if len(parts) > 1:
+                parts = union_many(parts)
+            ring_lists.append(parts)
+            out_kinds.append(POLYGON if len(parts) == 1 else MULTIPOLYGON)
+            continue
+        # polygon families
         rings = ga.rings_of_geom(g)
-        if len(rings) > 1:
-            raise NotImplementedError(
-                "buffer of polygons with interior rings is not supported; "
-                "close holes first (close_all_holes) or use distance joins")
-        ext = rings[0]
-        # normalize to CCW
-        x, y = ext[:-1, 0], ext[:-1, 1]
-        area2 = float((x * np.roll(y, -1) - np.roll(x, -1) * y).sum())
-        if area2 < 0:
-            ext = ext[::-1]
-        if not _is_convex_ccw(ext):
-            raise NotImplementedError("concave polygon buffer not supported")
-        if dist[g] < 0:
-            er = convex_ring_erode(ext, -float(dist[g]))
-            ring_lists.append([[er]] if er is not None else [])
-            out_kinds.append(POLYGON)
-        else:
-            ring_lists.append(
-                [[convex_ring_buffer(ext, float(dist[g]), quad_segs)]])
-            out_kinds.append(POLYGON)
+        n_parts = int(ga.geom_offsets[g + 1] - ga.geom_offsets[g])
+        if n_parts == 1 and len(rings) == 1:
+            ext = rings[0]
+            x, y = ext[:-1, 0], ext[:-1, 1]
+            area2 = float((x * np.roll(y, -1) - np.roll(x, -1) * y).sum())
+            if area2 < 0:
+                ext = ext[::-1]
+            if _is_convex_ccw(ext):
+                # exact convex fast paths — no trimming pass
+                if d < 0:
+                    er = convex_ring_erode(ext, -d)
+                    ring_lists.append([[er]] if er is not None else [])
+                else:
+                    ring_lists.append(
+                        [[convex_ring_buffer(ext, d, quad_segs)]])
+                out_kinds.append(POLYGON)
+                continue
+        parts = buffer_polygon(_parts_of(ga, g), d, quad_segs)
+        ring_lists.append(parts)
+        out_kinds.append(POLYGON if len(parts) <= 1 else MULTIPOLYGON)
     return from_rings(ring_lists, out_kinds)

@@ -126,12 +126,16 @@ def test_cc_raises_on_exhaustion(spark):
 
 
 # ---------------------------------------------------------------- 4. buffer
-def test_buffer_raises_on_holes():
+def test_buffer_handles_holes():
+    """Round 2 raised on interior rings; round 3's trimmed-offset kernel
+    buffers them: the exterior dilates, the hole erodes independently."""
     sq = rect(0, 0, 10, 10)
-    hole = rect(4, 4, 6, 6)[::-1]
+    hole = rect(3, 3, 7, 7)[::-1]
     ga = from_rings([[[sq, hole]]], [POLYGON])
-    with pytest.raises(NotImplementedError, match="interior rings"):
-        buffer(ga, 1.0)
+    out = buffer(ga, 1.0, quad_segs=8)
+    # exterior: 100 + 40 + discretized pi; hole erodes 4x4 -> 2x2
+    sector = 0.5 * np.sin((np.pi / 2) / 8) * 8 * 4
+    assert out.area()[0] == pytest.approx(100 + 40 + sector - 4.0)
 
 
 def test_negative_buffer_convex_exact():
