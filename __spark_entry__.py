@@ -236,8 +236,13 @@ def q_buffdiss(spark, sf_dir):
     from sgspark.dissolve import buffdissexp
     import numpy as np
     a, _ = _lshape_layers(spark, sf_dir)
+    # the CPU-heavy buffer kernel must not inherit the single-file scan's
+    # 1-2 partitions: spread rows across the cluster first (cheap shuffle
+    # of ids+WKB vs per-row offset trimming)
+    par = spark.sparkContext.defaultParallelism * 2
     a = a.withColumn("band", F.expr("aid div 40")) \
-         .select("band", "geometry", "minx", "miny", "maxx", "maxy")
+         .select("band", "geometry", "minx", "miny", "maxx", "maxy") \
+         .repartition(par)
     out = buffdissexp(a, 1.5, by=["band"], quad_segs=8)
     sector = 0.5 * 1.5 * 1.5 * float(np.sin((np.pi / 2) / 8)) * 8
     corr = 5 * sector - 1.5 * 1.5

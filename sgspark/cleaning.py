@@ -32,7 +32,7 @@ from .polygon_ops import (close_thin_holes, eliminate_by_longest, get_gaps,
 def _thin_flag(df: DataFrame, tolerance: float,
                geometry: str = "geometry") -> DataFrame:
     """Adds `__thin` = max inscribed diameter < tolerance."""
-    from .geom.measure import parts_max_inradius
+    from .geom.measure import parts_thin
     from .geom.wkb import from_wkb
     pitch = float(tolerance) / 8.0
     thr = float(tolerance) / 2.0
@@ -46,7 +46,7 @@ def _thin_flag(df: DataFrame, tolerance: float,
             ga = from_wkb(pdf[geometry].tolist())
             out = pdf.copy()
             out["__thin"] = [
-                parts_max_inradius(_parts_of(ga, g), pitch) < thr
+                parts_thin(_parts_of(ga, g), pitch, thr)
                 for g in range(len(ga))]
             yield out
 

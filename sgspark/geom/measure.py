@@ -74,6 +74,87 @@ def ring_max_inradius(ring: np.ndarray, pitch: float) -> float:
     return float(dist_to_ring(PX[inside], PY[inside], ring).max())
 
 
+def ring_thin(ring: np.ndarray, pitch: float, thr: float) -> bool:
+    """True iff max inscribed radius < thr — THRESHOLD-AWARE fast path for
+    the thinness classifiers.  Sound prefilters (bbox min-side and area
+    bounds on the inscribed radius), then COARSE-TO-FINE grid sampling with
+    early exit: one interior sample at distance >= thr proves NOT-thin, so
+    fat shapes exit on a handful of coarse samples instead of paying the
+    full tolerance/8 grid (the coverage_clean frame polygons did exactly
+    that)."""
+    return parts_thin([[ring]], pitch, thr)
+
+
+def parts_thin(parts: list[list[np.ndarray]], pitch: float,
+               thr: float) -> bool:
+    """True iff max inscribed radius over all parts < thr (holes
+    respected) — i.e. the polygon's erosion by thr is empty, the
+    reference's literal buffer(-tolerance/2) definition.
+
+    Tiered: sound bbox/area prefilters (inscribed radius <= min(w,h)/2 and
+    <= sqrt(area/pi)), then the EXACT erosion kernel (geom/offset.py)
+    whose emptiness is the definition itself — no tolerance/8 grid over a
+    sliver's huge bbox (which made coverage_clean's frame polygons cost
+    seconds each).  The grid sampler (`pitch`) remains only as the fallback
+    when the offset kernel's degeneracy ladder exhausts."""
+    from .clip import ring_area
+    pending = []
+    for rings in parts:
+        ext = rings[0]
+        w = float(ext[:, 0].max() - ext[:, 0].min())
+        h = float(ext[:, 1].max() - ext[:, 1].min())
+        if min(w, h) / 2.0 < thr:
+            continue  # inscribed radius <= min(w,h)/2: provably thin
+        area = abs(ring_area(ext)) - sum(abs(ring_area(hh))
+                                         for hh in rings[1:])
+        if area <= np.pi * thr * thr:
+            continue  # inscribed circle area bound: provably thin
+        pending.append(rings)
+    for rings in pending:
+        try:
+            from .offset import buffer_polygon
+            if buffer_polygon([rings], -thr, quad_segs=4):
+                return False  # erosion nonempty: NOT thin
+        except RuntimeError:
+            # degeneracy ladder exhausted: grid-sample fallback
+            if _parts_sample_max(rings, pitch, stop_at=thr) >= thr:
+                return False
+    return True
+
+
+def _parts_sample_max(rings: list[np.ndarray], pitch: float,
+                      stop_at: float | None = None) -> float:
+    ext = rings[0]
+    minx, miny = ext[:, 0].min(), ext[:, 1].min()
+    maxx, maxy = ext[:, 0].max(), ext[:, 1].max()
+    xs = np.arange(minx + pitch / 2, maxx, pitch)
+    ys = np.arange(miny + pitch / 2, maxy, pitch)
+    if len(xs) == 0 or len(ys) == 0:
+        xs = np.array([(minx + maxx) / 2])
+        ys = np.array([(miny + maxy) / 2])
+    if len(xs) * len(ys) > 4_000_000:
+        raise ValueError("inradius grid too fine for this extent; "
+                         "raise pitch")
+    best = 0.0
+    # row-blocked so the early exit pays off before the full grid
+    for s in range(0, len(xs), max(len(xs) // 8, 1)):
+        xb = xs[s:s + max(len(xs) // 8, 1)]
+        PX = np.repeat(xb, len(ys))
+        PY = np.tile(ys, len(xb))
+        inside = points_in_ring(PX, PY, ext)
+        for hh in rings[1:]:
+            inside &= ~points_in_ring(PX, PY, hh)
+        if not inside.any():
+            continue
+        d = dist_to_ring(PX[inside], PY[inside], ext)
+        for hh in rings[1:]:
+            d = np.minimum(d, dist_to_ring(PX[inside], PY[inside], hh))
+        best = max(best, float(d.max()))
+        if stop_at is not None and best >= stop_at:
+            return best
+    return best
+
+
 def parts_max_inradius(parts: list[list[np.ndarray]], pitch: float) -> float:
     """Max inscribed radius over polygon parts (holes respected: a sample
     inside a hole doesn't count; its distance uses all rings)."""

@@ -415,6 +415,31 @@ def rect_flags(ga: GeomArray) -> tuple[np.ndarray, np.ndarray]:
     return is_r, b
 
 
+def convex_flags(ga: GeomArray) -> np.ndarray:
+    """bool[n]: single-ring hole-free POLYGONs that are convex — eligible
+    for the batched convex x convex clip tier.  Vectorized (padded rings,
+    consecutive-edge cross products)."""
+    simple = ga.simple_polygon_flags()
+    out = np.zeros(len(ga), dtype=bool)
+    idx = np.nonzero(simple)[0]
+    if not len(idx):
+        return out
+    P, C = ga.padded_first_rings(idx)
+    n, L, _ = P.shape
+    j = np.arange(L)
+    valid = j[None, :] < C[:, None]
+    i1 = np.where(j[None, :] + 1 >= C[:, None], 0, j[None, :] + 1)
+    i2 = np.where(i1 + 1 >= C[:, None], i1 + 1 - C[:, None], i1 + 1)
+    P1 = np.take_along_axis(P, i1[:, :, None], axis=1)
+    P2 = np.take_along_axis(P, i2[:, :, None], axis=1)
+    a = P1 - P
+    b = P2 - P1
+    cr = a[:, :, 0] * b[:, :, 1] - a[:, :, 1] * b[:, :, 0]
+    cr = np.where(valid, cr, 0.0)
+    out[idx] = ((cr >= 0).all(axis=1) | (cr <= 0).all(axis=1)) & (C >= 3)
+    return out
+
+
 def _geom_geom_intersects(la, lg, ra, rg) -> bool:
     lfam = FAMILY_OF.get(int(la.kinds[lg]), "point")
     rfam = FAMILY_OF.get(int(ra.kinds[rg]), "point")

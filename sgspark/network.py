@@ -97,20 +97,25 @@ def shortest_paths(edges: DataFrame, origins: DataFrame, *,
                    .drop("mult"))
         relaxed = rel.select("oid", F.col("v").alias("u"),
                              (F.col("cost") + F.col("w")).alias("cost"),
-                             F.col("u").alias("pred"))
+                             F.col("u").alias("pred"),
+                             F.lit(1).alias("__cand"))
         # min(struct(cost, pred)): min cost, ties to smallest pred — one
-        # deterministic agg, no window
-        new = (dist.unionByName(relaxed)
+        # deterministic agg, no window.  The convergence check rides the
+        # SAME aggregation (__old = best non-candidate cost) and the SAME
+        # job as the checkpoint materialization: lazy localCheckpoint +
+        # count() = ONE Spark job per round (VERDICT r2 directive 7).
+        new = (dist.withColumn("__cand", F.lit(0)).unionByName(relaxed)
                .groupBy("oid", "u")
-               .agg(F.min(F.struct("cost", "pred")).alias("s"))
+               .agg(F.min(F.struct("cost", "pred")).alias("s"),
+                    F.min(F.when(F.col("__cand") == 0, F.col("cost")))
+                    .alias("__old"))
                .select("oid", "u", F.col("s.cost").alias("cost"),
-                       F.col("s.pred").alias("pred")))
-        new = new.localCheckpoint()
-        improved = (new.alias("n").join(
-            dist.alias("o"), ["oid", "u"], "left")
-            .where(F.col("o.cost").isNull() |
-                   (F.col("n.cost") < F.col("o.cost"))).count())
-        dist = new
+                       F.col("s.pred").alias("pred"),
+                       (F.col("__old").isNull() |
+                        (F.col("s.cost") < F.col("__old"))).alias("__imp")))
+        new = new.localCheckpoint(eager=False)
+        improved = new.where("__imp").count()
+        dist = new.drop("__imp")
         if improved == 0:
             return dist
     raise RuntimeError(

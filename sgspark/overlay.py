@@ -102,12 +102,19 @@ def _intersect_batch(pdf: pd.DataFrame, id1: str, rid: str,
     rrect_u, rb_u = _is_rect(ra)
     lsimple_u = la.simple_polygon_flags()
     rsimple_u = ra.simple_polygon_flags()
+    from .geom.predicates import convex_flags
+    lconv_u = convex_flags(la)
+    rconv_u = convex_flags(ra)
     lrect, rrect = lrect_u[li], rrect_u[ri]
 
     tier1 = lrect & rrect
     tier2_l = ~lrect & lsimple_u[li] & rrect    # clip left poly by right rect
     tier2_r = ~rrect & rsimple_u[ri] & lrect    # clip right poly by left rect
-    tier3 = ~(tier1 | tier2_l | tier2_r)
+    # tier 2b: convex x convex (non-rect) — batched general half-plane clip;
+    # convex ∩ convex is connected, so no split detection is needed
+    tier2b = (~(tier1 | tier2_l | tier2_r)
+              & lconv_u[li] & rconv_u[ri])
+    tier3 = ~(tier1 | tier2_l | tier2_r | tier2b)
 
     frames = []
     if tier1.any():
@@ -179,6 +186,27 @@ def _intersect_batch(pdf: pd.DataFrame, id1: str, rid: str,
                     id1: pdf[id1].to_numpy()[jd],
                     rid: pdf[rid].to_numpy()[jd],
                     "geometry": [wkbs[m] for m in ok]}))
+    if tier2b.any():
+        from .geom.clip import clip_rings_by_convex_batch
+        i = np.nonzero(tier2b)[0]
+        P, C = la.padded_first_rings(li[i])
+        for arr, cnt in ((P, C),):
+            sgn = padded_ring_areas(arr, cnt)
+            for k in np.nonzero(sgn < 0)[0]:  # rare; WKB exteriors are CCW
+                arr[k, :cnt[k]] = arr[k, :cnt[k]][::-1]
+        CP, CC = ra.padded_first_rings(ri[i])
+        sgn = padded_ring_areas(CP, CC)
+        for k in np.nonzero(sgn < 0)[0]:
+            CP[k, :CC[k]] = CP[k, :CC[k]][::-1]
+        Po, Co = clip_rings_by_convex_batch(P, C, CP, CC)
+        areas = padded_ring_areas(Po, Co)
+        keep = (Co >= 3) & (np.abs(areas) > 0)
+        j = i[keep]
+        if len(j):
+            frames.append(pd.DataFrame({
+                id1: pdf[id1].to_numpy()[j],
+                rid: pdf[rid].to_numpy()[j],
+                "geometry": single_ring_polygons_wkb(Po[keep], Co[keep])}))
     if tier3.any():
         idx3 = np.nonzero(tier3)[0]
         pair_code = li[idx3] * np.int64(len(ru)) + ri[idx3]

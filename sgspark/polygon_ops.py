@@ -116,7 +116,7 @@ def close_thin_holes(df: DataFrame, tolerance: float,
     hole.buffer(-tolerance/2) is empty, i.e. max inscribed radius <
     tolerance/2 — tested here with the deterministic grid-sample kernel,
     pitch tolerance/8, see geom/measure.py for the approximation bound)."""
-    from .geom.measure import ring_max_inradius
+    from .geom.measure import ring_thin
     pitch = float(tolerance) / 8.0
     thr = float(tolerance) / 2.0
 
@@ -130,7 +130,7 @@ def close_thin_holes(df: DataFrame, tolerance: float,
                 rings = [ga.coords[ga.ring_offsets[r0]:ga.ring_offsets[r0 + 1]]]
                 for r in range(r0 + 1, r1):
                     hole = ga.coords[ga.ring_offsets[r]:ga.ring_offsets[r + 1]]
-                    if ring_max_inradius(hole, pitch) >= thr:
+                    if not ring_thin(hole, pitch, thr):
                         rings.append(hole)
                 parts.append(rings)
             kind = POLYGON if len(parts) == 1 else 6
