@@ -223,6 +223,55 @@ def q_overlay_concave_diff(spark, sf_dir):
     return _area_rows(diff.select("aid", "geometry"), ["aid"])
 
 
+def _lshape_rot45_layers(spark, sf_dir):
+    """The L-shape layers ROTATED 45 degrees: the same integer L-shapes laid
+    out in (u, v) = (x+y, x-y) space, mapped back via x=(u+v)/2,
+    y=(u-v)/2.  Every edge becomes DIAGONAL (slope +-1), so the
+    Greiner–Hormann tier-3 kernel runs on non-axis-parallel crossings
+    end-to-end (VERDICT r2 directive 4), while DuckDB still computes exact
+    pair areas with pure interval arithmetic in uv space (area_xy =
+    area_uv / 2, the rotation Jacobian).  A all-even / B all-odd uv coords:
+    every boundary crossing is a proper interior crossing."""
+    from sgspark.io import wkt_to_wkb_df
+
+    def wkt(x0, y0, s, aa, bb):
+        # six uv vertices of the L, emitted as ((u+v)/2, (u-v)/2)
+        u = [f"({x0})", f"({x0}+{s})", f"({x0}+{s})", f"({x0}+{aa})",
+             f"({x0}+{aa})", f"({x0})"]
+        v = [f"({y0})", f"({y0})", f"({y0}+{bb})", f"({y0}+{bb})",
+             f"({y0}+{s})", f"({y0}+{s})"]
+        pts = [f"cast(({uu} + {vv}) / 2.0 as double), ' ', "
+               f"cast(({uu} - {vv}) / 2.0 as double)" for uu, vv in zip(u, v)]
+        first = pts[0]
+        body = ", ', ', ".join(pts)
+        return f"concat('POLYGON ((', {body}, ', ', {first}, '))')"
+
+    a = spark.read.parquet(f"{sf_dir}/customer.parquet").selectExpr(
+        "c_custkey AS aid", wkt(**_LA) + " AS geometry_wkt")
+    b = spark.read.parquet(f"{sf_dir}/supplier.parquet").selectExpr(
+        "s_suppkey AS bid", wkt(**_LB) + " AS geometry_wkt")
+    return wkt_to_wkb_df(a), wkt_to_wkb_df(b)
+
+
+def q_overlay_rot45(spark, sf_dir):
+    """Concave x concave intersection with ALL-DIAGONAL edges (GH kernel,
+    no axis-parallel fast path applies)."""
+    from sgspark.overlay import clean_overlay
+    a, b = _lshape_rot45_layers(spark, sf_dir)
+    inter = clean_overlay(a, b, "intersection", id1="aid", id2="bid",
+                          gridsize=500.0)
+    return _area_rows(inter.select("aid", "bid", "geometry"), ["aid", "bid"])
+
+
+def q_overlay_rot45_diff(spark, sf_dir):
+    """Concave difference with all-diagonal edges (GH erase path)."""
+    from sgspark.overlay import clean_overlay
+    a, b = _lshape_rot45_layers(spark, sf_dir)
+    diff = clean_overlay(a, b, "difference", id1="aid", id2="bid",
+                         gridsize=500.0)
+    return _area_rows(diff.select("aid", "geometry"), ["aid"])
+
+
 def q_buffdiss(spark, sf_dir):
     """buffer(CONCAVE L-shapes, trimmed-offset kernel) -> dissolve by band
     -> explode (`buffdissexp`, reference buffer_dissolve_explode.py:50-185).
@@ -478,14 +527,30 @@ def q_langid(spark, sf_dir):
     return lang_id(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+# Shared token hash for the simhash gates: rolling polynomial mod 2^44 —
+# BIGINT-safe in both engines, and DuckDB's list_reduce (first element as
+# init) equals Spark's fold from 0 because 0*131 + c1 = c1.
+_TOKHASH = ("aggregate(transform(sequence(1, length(w)), "
+            "i -> cast(ascii(substring(w, i, 1)) as bigint)), "
+            "cast(0 as bigint), "
+            "(acc, c) -> pmod(acc * 131 + c, 17592186044416))")
+
+
 def q_simhash(spark, sf_dir):
+    """SimHash gated hash-exact: the xxhash64 default is swapped for a
+    polynomial token hash both engines compute (round-3 upgrade)."""
     from sgspark.textops import simhash
-    return simhash(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return simhash(spark.read.parquet(f"{sf_dir}/documents.parquet"),
+                   token_hash_sql=_TOKHASH)
 
 
 def q_simhash_near_dups(spark, sf_dir):
+    """Banded near-dups at max_hamming=3, where 4x16-bit banding is
+    PIGEONHOLE-EXACT, so the banded output equals DuckDB's all-pairs
+    popcount filter (round-3 upgrade)."""
     from sgspark.textops import simhash_near_dups
-    return simhash_near_dups(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return simhash_near_dups(spark.read.parquet(f"{sf_dir}/documents.parquet"),
+                             max_hamming=3, token_hash_sql=_TOKHASH)
 
 
 def q_fingerprint(spark, sf_dir):
@@ -500,9 +565,14 @@ def q_cosine_topk(spark, sf_dir):
 
 
 def q_ann_lsh(spark, sf_dir):
+    """SRP-LSH ANN, parameterized for recall 1.0 at this similarity level
+    (sim~0.32 -> p=0.6; 32 tables x 2 bits -> miss prob ~6e-7 per pair):
+    the bucket join + exact rerank must reproduce the true top-k, gated
+    hash-exact against the brute-force oracle (round-3 upgrade; round 2's
+    correlated SRP hyperplanes capped recall at 0.92 at ANY table count)."""
     from sgspark.vecops import cosine_topk_lsh
     vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return cosine_topk_lsh(vecs, 5)
+    return cosine_topk_lsh(vecs, 5, n_bits=2, n_tables=32)
 
 
 def q_ann_ivf(spark, sf_dir):
@@ -550,6 +620,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlay_intersection": q_overlay_intersection,
         "overlay_concave": q_overlay_concave,
         "overlay_concave_diff": q_overlay_concave_diff,
+        "overlay_rot45": q_overlay_rot45,
+        "overlay_rot45_diff": q_overlay_rot45_diff,
         "buffdiss": q_buffdiss,
         "gridloop_tile_counts": q_gridloop_tile_counts,
         "zone_clusters": q_zone_clusters,
@@ -594,7 +666,7 @@ def _overlay_oracle() -> str:
             f"AND {ox} > 0 AND {oy} > 0")
 
 
-def _concave_oracle(how: str) -> str:
+def _concave_oracle(how: str, div: int = 1) -> str:
     """Exact SQL oracle for the L-shape layers: each L decomposes into two
     interior-disjoint rects, so area(LA ∩ LB) = Σ rect-pair interval
     products; B's L-shapes are pairwise disjoint (grid pitch > max extent),
@@ -627,17 +699,17 @@ def _concave_oracle(how: str) -> str:
     """
     if how == "intersection":
         return base + """
-      SELECT aid, bid, round(CAST(ia AS DOUBLE), 6) AS area
-      FROM pair_area WHERE ia > 0"""
+      SELECT aid, bid, round(CAST(ia AS DOUBLE) / {div}, 6) AS area
+      FROM pair_area WHERE ia > 0""".format(div=div)
     return base + """
       , asize AS (
         SELECT aid, s * bb + aa * (s - bb) AS full_area FROM a),
       erased AS (
         SELECT aid, sum(ia) AS e FROM pair_area GROUP BY aid)
-      SELECT s.aid, round(CAST(s.full_area - coalesce(e.e, 0) AS DOUBLE), 6)
-             AS area
+      SELECT s.aid, round(CAST(s.full_area - coalesce(e.e, 0) AS DOUBLE)
+                          / {div}, 6) AS area
       FROM asize s LEFT JOIN erased e ON e.aid = s.aid
-      WHERE s.full_area - coalesce(e.e, 0) > 0"""
+      WHERE s.full_area - coalesce(e.e, 0) > 0""".format(div=div)
 
 
 # ------------------------------------------------------------------------ #
@@ -686,6 +758,10 @@ def oracle_sql() -> dict[str, str]:
         "overlay_intersection": _overlay_oracle(),
         "overlay_concave": _concave_oracle("intersection"),
         "overlay_concave_diff": _concave_oracle("difference"),
+        # rotated-45 layers: same uv-space interval arithmetic, areas halved
+        # by the rotation Jacobian (dx dy = du dv / 2)
+        "overlay_rot45": _concave_oracle("intersection", div=2),
+        "overlay_rot45_diff": _concave_oracle("difference", div=2),
         "buffdiss": f"""
             SELECT c_custkey // 40 AS band,
                    round(CAST(s * bb + aa * (s - bb) + 6 * s AS DOUBLE), 6)
@@ -896,8 +972,162 @@ def oracle_sql() -> dict[str, str]:
                      AS sum_base_price,
                    count(*) AS count_order
             FROM lineitem GROUP BY 1, 2""",
-        # zone_clusters / zone_dissolve / simhash* / fingerprint / ann_lsh:
-        # intentionally no oracle (iterative CC, geometry union, xxhash64 and
-        # HOF-reduce are not DuckDB-expressible) -> driver rows-only check;
-        # exactness covered by pytest goldens instead.
+        # Rolling polynomial fingerprint: DuckDB list_reduce uses the first
+        # element as its init, which equals Spark's fold from 0 because
+        # 0*131 + c1 = c1 (round-3 upgrade from rows-only).
+        "fingerprint": """
+            SELECT doc_id,
+                   list_reduce(
+                     list_transform(generate_series(1, length(text)),
+                                    i -> CAST(ascii(substring(text, i, 1))
+                                              AS BIGINT)),
+                     (acc, c) -> (acc * 131 + c) % 1000000007)
+                   AS fingerprint
+            FROM documents""",
+        # Zonal stats: the synthetic raster is a pure formula at integer
+        # pixel centers (FIXTURES.md F5) and zone edges are half-integers,
+        # so DuckDB integrates it exactly; libm 1-ulp sin/cos differences
+        # are ~1e-14 against a 1e-6 rounding grid (round-3 upgrade).
+        "zonal_stats": f"""
+            WITH px AS (
+              SELECT 254000 + i*20 + 10 AS x, 6644000 + j*20 + 10 AS y,
+                     sin((254000 + i*20 + 10)/500.0)
+                     + cos((6644000 + j*20 + 10)/700.0) AS v
+              FROM generate_series(0, 399) s(i), generate_series(0, 399) t(j)
+            ), z AS (
+              SELECT c_custkey AS zone_id, {ZX} AS cx, {ZY} AS cy, {ZR} AS r
+              FROM customer WHERE c_custkey % 37 = 0)
+            SELECT z.zone_id, count(*) AS count, round(avg(v), 6) AS mean_val
+            FROM z JOIN px ON px.x BETWEEN z.cx - z.r AND z.cx + z.r
+                          AND px.y BETWEEN z.cy - z.r AND z.cy + z.r
+            GROUP BY z.zone_id""",
+        # IVF with n_probe == n_centroids scans every inverted list, so the
+        # output IS the exact top-k: gated against the brute-force oracle
+        # (round-3 upgrade from rows-only).
+        "ann_lsh": """
+            WITH q AS (
+              SELECT vec_id, t.i AS pos,
+                     CAST(round(embedding[CAST(t.i AS INTEGER)] * 1000)
+                          AS BIGINT) AS v
+              FROM embeddings, generate_series(1, 64) t(i)
+            ), norms AS (
+              SELECT vec_id, sum(v * v) AS n2 FROM q GROUP BY 1
+            ), sims AS (
+              SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+                     sum(a.v * b.v) / sqrt(CAST(na.n2 AS DOUBLE) *
+                                           CAST(nb.n2 AS DOUBLE)) AS sim_raw
+              FROM q a JOIN q b ON a.pos = b.pos AND a.vec_id <> b.vec_id
+              JOIN norms na ON na.vec_id = a.vec_id
+              JOIN norms nb ON nb.vec_id = b.vec_id
+              GROUP BY a.vec_id, b.vec_id, na.n2, nb.n2)
+            SELECT vec_id, neighbor_id, round(sim_raw, 6) AS sim, k_rank
+            FROM (
+              SELECT vec_id, neighbor_id, sim_raw,
+                     row_number() OVER (PARTITION BY vec_id
+                       ORDER BY sim_raw DESC, neighbor_id) AS k_rank
+              FROM sims)
+            WHERE k_rank <= 5""",
+        "ann_ivf": """
+            WITH q AS (
+              SELECT vec_id, t.i AS pos,
+                     CAST(round(embedding[CAST(t.i AS INTEGER)] * 1000)
+                          AS BIGINT) AS v
+              FROM embeddings, generate_series(1, 64) t(i)
+            ), norms AS (
+              SELECT vec_id, sum(v * v) AS n2 FROM q GROUP BY 1
+            ), sims AS (
+              SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+                     sum(a.v * b.v) / sqrt(CAST(na.n2 AS DOUBLE) *
+                                           CAST(nb.n2 AS DOUBLE)) AS sim_raw
+              FROM q a JOIN q b ON a.pos = b.pos AND a.vec_id <> b.vec_id
+              JOIN norms na ON na.vec_id = a.vec_id
+              JOIN norms nb ON nb.vec_id = b.vec_id
+              GROUP BY a.vec_id, b.vec_id, na.n2, nb.n2)
+            SELECT vec_id, neighbor_id, round(sim_raw, 6) AS sim, k_rank
+            FROM (
+              SELECT vec_id, neighbor_id, sim_raw,
+                     row_number() OVER (PARTITION BY vec_id
+                       ORDER BY sim_raw DESC, neighbor_id) AS k_rank
+              FROM sims)
+            WHERE k_rank <= 5""",
+        # Connected components of the square-overlap graph via a recursive
+        # CTE (min-label propagation restricted to l < b, which still lets
+        # every component minimum reach all members) — upgrades the
+        # iterative-CC gates from rows-only (round-3).
+        "zone_clusters": f"""
+            WITH RECURSIVE z AS (
+              SELECT c_custkey AS id, {ZX} AS cx, {ZY} AS cy, {ZR} AS r
+              FROM customer),
+            e AS (
+              SELECT a.id AS a, b.id AS b FROM z a JOIN z b
+              ON abs(a.cx - b.cx) <= a.r + b.r
+             AND abs(a.cy - b.cy) <= a.r + b.r),
+            lbl(id, l) AS (
+              SELECT id, id FROM z
+              UNION
+              SELECT e.b, lbl.l FROM lbl JOIN e ON e.a = lbl.id
+              WHERE lbl.l < e.b)
+            SELECT id AS zone_id, min(l) AS cluster FROM lbl GROUP BY id""",
+        "zone_dissolve": f"""
+            WITH RECURSIVE z AS (
+              SELECT c_custkey AS id, {ZX} AS cx, {ZY} AS cy, {ZR} AS r
+              FROM customer),
+            e AS (
+              SELECT a.id AS a, b.id AS b FROM z a JOIN z b
+              ON abs(a.cx - b.cx) <= a.r + b.r
+             AND abs(a.cy - b.cy) <= a.r + b.r),
+            lbl(id, l) AS (
+              SELECT id, id FROM z
+              UNION
+              SELECT e.b, lbl.l FROM lbl JOIN e ON e.a = lbl.id
+              WHERE lbl.l < e.b)
+            SELECT count(DISTINCT l2) AS n_parts FROM (
+              SELECT id, min(l) AS l2 FROM lbl GROUP BY id)""",
+        # SimHash with the shared polynomial token hash: bits >= 44 of the
+        # hash are zero in both engines (sign-sum is -n_tokens -> bit 0),
+        # so packing bits 0..43 reproduces the full 64-bit value.
+        "simhash": """
+            WITH t AS (
+              SELECT doc_id, list_reduce(
+                list_transform(generate_series(1, length(w)),
+                               i -> CAST(ascii(substring(w, i, 1)) AS BIGINT)),
+                (acc, c) -> (acc * 131 + c) % 17592186044416) AS hh
+              FROM (SELECT doc_id,
+                           unnest(list_filter(string_split(text, ' '),
+                                              w -> length(w) > 0)) AS w
+                    FROM documents)
+            ), s AS (
+              SELECT doc_id, sum(CASE WHEN (hh >> 0) & 1 = 1 THEN 1 ELSE -1 END) AS b0, sum(CASE WHEN (hh >> 1) & 1 = 1 THEN 1 ELSE -1 END) AS b1, sum(CASE WHEN (hh >> 2) & 1 = 1 THEN 1 ELSE -1 END) AS b2, sum(CASE WHEN (hh >> 3) & 1 = 1 THEN 1 ELSE -1 END) AS b3, sum(CASE WHEN (hh >> 4) & 1 = 1 THEN 1 ELSE -1 END) AS b4, sum(CASE WHEN (hh >> 5) & 1 = 1 THEN 1 ELSE -1 END) AS b5, sum(CASE WHEN (hh >> 6) & 1 = 1 THEN 1 ELSE -1 END) AS b6, sum(CASE WHEN (hh >> 7) & 1 = 1 THEN 1 ELSE -1 END) AS b7, sum(CASE WHEN (hh >> 8) & 1 = 1 THEN 1 ELSE -1 END) AS b8, sum(CASE WHEN (hh >> 9) & 1 = 1 THEN 1 ELSE -1 END) AS b9, sum(CASE WHEN (hh >> 10) & 1 = 1 THEN 1 ELSE -1 END) AS b10, sum(CASE WHEN (hh >> 11) & 1 = 1 THEN 1 ELSE -1 END) AS b11, sum(CASE WHEN (hh >> 12) & 1 = 1 THEN 1 ELSE -1 END) AS b12, sum(CASE WHEN (hh >> 13) & 1 = 1 THEN 1 ELSE -1 END) AS b13, sum(CASE WHEN (hh >> 14) & 1 = 1 THEN 1 ELSE -1 END) AS b14, sum(CASE WHEN (hh >> 15) & 1 = 1 THEN 1 ELSE -1 END) AS b15, sum(CASE WHEN (hh >> 16) & 1 = 1 THEN 1 ELSE -1 END) AS b16, sum(CASE WHEN (hh >> 17) & 1 = 1 THEN 1 ELSE -1 END) AS b17, sum(CASE WHEN (hh >> 18) & 1 = 1 THEN 1 ELSE -1 END) AS b18, sum(CASE WHEN (hh >> 19) & 1 = 1 THEN 1 ELSE -1 END) AS b19, sum(CASE WHEN (hh >> 20) & 1 = 1 THEN 1 ELSE -1 END) AS b20, sum(CASE WHEN (hh >> 21) & 1 = 1 THEN 1 ELSE -1 END) AS b21, sum(CASE WHEN (hh >> 22) & 1 = 1 THEN 1 ELSE -1 END) AS b22, sum(CASE WHEN (hh >> 23) & 1 = 1 THEN 1 ELSE -1 END) AS b23, sum(CASE WHEN (hh >> 24) & 1 = 1 THEN 1 ELSE -1 END) AS b24, sum(CASE WHEN (hh >> 25) & 1 = 1 THEN 1 ELSE -1 END) AS b25, sum(CASE WHEN (hh >> 26) & 1 = 1 THEN 1 ELSE -1 END) AS b26, sum(CASE WHEN (hh >> 27) & 1 = 1 THEN 1 ELSE -1 END) AS b27, sum(CASE WHEN (hh >> 28) & 1 = 1 THEN 1 ELSE -1 END) AS b28, sum(CASE WHEN (hh >> 29) & 1 = 1 THEN 1 ELSE -1 END) AS b29, sum(CASE WHEN (hh >> 30) & 1 = 1 THEN 1 ELSE -1 END) AS b30, sum(CASE WHEN (hh >> 31) & 1 = 1 THEN 1 ELSE -1 END) AS b31, sum(CASE WHEN (hh >> 32) & 1 = 1 THEN 1 ELSE -1 END) AS b32, sum(CASE WHEN (hh >> 33) & 1 = 1 THEN 1 ELSE -1 END) AS b33, sum(CASE WHEN (hh >> 34) & 1 = 1 THEN 1 ELSE -1 END) AS b34, sum(CASE WHEN (hh >> 35) & 1 = 1 THEN 1 ELSE -1 END) AS b35, sum(CASE WHEN (hh >> 36) & 1 = 1 THEN 1 ELSE -1 END) AS b36, sum(CASE WHEN (hh >> 37) & 1 = 1 THEN 1 ELSE -1 END) AS b37, sum(CASE WHEN (hh >> 38) & 1 = 1 THEN 1 ELSE -1 END) AS b38, sum(CASE WHEN (hh >> 39) & 1 = 1 THEN 1 ELSE -1 END) AS b39, sum(CASE WHEN (hh >> 40) & 1 = 1 THEN 1 ELSE -1 END) AS b40, sum(CASE WHEN (hh >> 41) & 1 = 1 THEN 1 ELSE -1 END) AS b41, sum(CASE WHEN (hh >> 42) & 1 = 1 THEN 1 ELSE -1 END) AS b42, sum(CASE WHEN (hh >> 43) & 1 = 1 THEN 1 ELSE -1 END) AS b43
+              FROM t GROUP BY doc_id
+            ), h AS (
+              SELECT doc_id, (CASE WHEN b0 > 0 THEN CAST(1 AS BIGINT) ELSE 0 END) + (CASE WHEN b1 > 0 THEN CAST(2 AS BIGINT) ELSE 0 END) + (CASE WHEN b2 > 0 THEN CAST(4 AS BIGINT) ELSE 0 END) + (CASE WHEN b3 > 0 THEN CAST(8 AS BIGINT) ELSE 0 END) + (CASE WHEN b4 > 0 THEN CAST(16 AS BIGINT) ELSE 0 END) + (CASE WHEN b5 > 0 THEN CAST(32 AS BIGINT) ELSE 0 END) + (CASE WHEN b6 > 0 THEN CAST(64 AS BIGINT) ELSE 0 END) + (CASE WHEN b7 > 0 THEN CAST(128 AS BIGINT) ELSE 0 END) + (CASE WHEN b8 > 0 THEN CAST(256 AS BIGINT) ELSE 0 END) + (CASE WHEN b9 > 0 THEN CAST(512 AS BIGINT) ELSE 0 END) + (CASE WHEN b10 > 0 THEN CAST(1024 AS BIGINT) ELSE 0 END) + (CASE WHEN b11 > 0 THEN CAST(2048 AS BIGINT) ELSE 0 END) + (CASE WHEN b12 > 0 THEN CAST(4096 AS BIGINT) ELSE 0 END) + (CASE WHEN b13 > 0 THEN CAST(8192 AS BIGINT) ELSE 0 END) + (CASE WHEN b14 > 0 THEN CAST(16384 AS BIGINT) ELSE 0 END) + (CASE WHEN b15 > 0 THEN CAST(32768 AS BIGINT) ELSE 0 END) + (CASE WHEN b16 > 0 THEN CAST(65536 AS BIGINT) ELSE 0 END) + (CASE WHEN b17 > 0 THEN CAST(131072 AS BIGINT) ELSE 0 END) + (CASE WHEN b18 > 0 THEN CAST(262144 AS BIGINT) ELSE 0 END) + (CASE WHEN b19 > 0 THEN CAST(524288 AS BIGINT) ELSE 0 END) + (CASE WHEN b20 > 0 THEN CAST(1048576 AS BIGINT) ELSE 0 END) + (CASE WHEN b21 > 0 THEN CAST(2097152 AS BIGINT) ELSE 0 END) + (CASE WHEN b22 > 0 THEN CAST(4194304 AS BIGINT) ELSE 0 END) + (CASE WHEN b23 > 0 THEN CAST(8388608 AS BIGINT) ELSE 0 END) + (CASE WHEN b24 > 0 THEN CAST(16777216 AS BIGINT) ELSE 0 END) + (CASE WHEN b25 > 0 THEN CAST(33554432 AS BIGINT) ELSE 0 END) + (CASE WHEN b26 > 0 THEN CAST(67108864 AS BIGINT) ELSE 0 END) + (CASE WHEN b27 > 0 THEN CAST(134217728 AS BIGINT) ELSE 0 END) + (CASE WHEN b28 > 0 THEN CAST(268435456 AS BIGINT) ELSE 0 END) + (CASE WHEN b29 > 0 THEN CAST(536870912 AS BIGINT) ELSE 0 END) + (CASE WHEN b30 > 0 THEN CAST(1073741824 AS BIGINT) ELSE 0 END) + (CASE WHEN b31 > 0 THEN CAST(2147483648 AS BIGINT) ELSE 0 END) + (CASE WHEN b32 > 0 THEN CAST(4294967296 AS BIGINT) ELSE 0 END) + (CASE WHEN b33 > 0 THEN CAST(8589934592 AS BIGINT) ELSE 0 END) + (CASE WHEN b34 > 0 THEN CAST(17179869184 AS BIGINT) ELSE 0 END) + (CASE WHEN b35 > 0 THEN CAST(34359738368 AS BIGINT) ELSE 0 END) + (CASE WHEN b36 > 0 THEN CAST(68719476736 AS BIGINT) ELSE 0 END) + (CASE WHEN b37 > 0 THEN CAST(137438953472 AS BIGINT) ELSE 0 END) + (CASE WHEN b38 > 0 THEN CAST(274877906944 AS BIGINT) ELSE 0 END) + (CASE WHEN b39 > 0 THEN CAST(549755813888 AS BIGINT) ELSE 0 END) + (CASE WHEN b40 > 0 THEN CAST(1099511627776 AS BIGINT) ELSE 0 END) + (CASE WHEN b41 > 0 THEN CAST(2199023255552 AS BIGINT) ELSE 0 END) + (CASE WHEN b42 > 0 THEN CAST(4398046511104 AS BIGINT) ELSE 0 END) + (CASE WHEN b43 > 0 THEN CAST(8796093022208 AS BIGINT) ELSE 0 END) AS simhash FROM s)
+
+            SELECT doc_id, simhash FROM h""",
+        # max_hamming=3 makes 4x16 banding pigeonhole-exact: all-pairs
+        # popcount in SQL equals the engine's banded candidates.
+        "simhash_near_dups": """
+            WITH t AS (
+              SELECT doc_id, list_reduce(
+                list_transform(generate_series(1, length(w)),
+                               i -> CAST(ascii(substring(w, i, 1)) AS BIGINT)),
+                (acc, c) -> (acc * 131 + c) % 17592186044416) AS hh
+              FROM (SELECT doc_id,
+                           unnest(list_filter(string_split(text, ' '),
+                                              w -> length(w) > 0)) AS w
+                    FROM documents)
+            ), s AS (
+              SELECT doc_id, sum(CASE WHEN (hh >> 0) & 1 = 1 THEN 1 ELSE -1 END) AS b0, sum(CASE WHEN (hh >> 1) & 1 = 1 THEN 1 ELSE -1 END) AS b1, sum(CASE WHEN (hh >> 2) & 1 = 1 THEN 1 ELSE -1 END) AS b2, sum(CASE WHEN (hh >> 3) & 1 = 1 THEN 1 ELSE -1 END) AS b3, sum(CASE WHEN (hh >> 4) & 1 = 1 THEN 1 ELSE -1 END) AS b4, sum(CASE WHEN (hh >> 5) & 1 = 1 THEN 1 ELSE -1 END) AS b5, sum(CASE WHEN (hh >> 6) & 1 = 1 THEN 1 ELSE -1 END) AS b6, sum(CASE WHEN (hh >> 7) & 1 = 1 THEN 1 ELSE -1 END) AS b7, sum(CASE WHEN (hh >> 8) & 1 = 1 THEN 1 ELSE -1 END) AS b8, sum(CASE WHEN (hh >> 9) & 1 = 1 THEN 1 ELSE -1 END) AS b9, sum(CASE WHEN (hh >> 10) & 1 = 1 THEN 1 ELSE -1 END) AS b10, sum(CASE WHEN (hh >> 11) & 1 = 1 THEN 1 ELSE -1 END) AS b11, sum(CASE WHEN (hh >> 12) & 1 = 1 THEN 1 ELSE -1 END) AS b12, sum(CASE WHEN (hh >> 13) & 1 = 1 THEN 1 ELSE -1 END) AS b13, sum(CASE WHEN (hh >> 14) & 1 = 1 THEN 1 ELSE -1 END) AS b14, sum(CASE WHEN (hh >> 15) & 1 = 1 THEN 1 ELSE -1 END) AS b15, sum(CASE WHEN (hh >> 16) & 1 = 1 THEN 1 ELSE -1 END) AS b16, sum(CASE WHEN (hh >> 17) & 1 = 1 THEN 1 ELSE -1 END) AS b17, sum(CASE WHEN (hh >> 18) & 1 = 1 THEN 1 ELSE -1 END) AS b18, sum(CASE WHEN (hh >> 19) & 1 = 1 THEN 1 ELSE -1 END) AS b19, sum(CASE WHEN (hh >> 20) & 1 = 1 THEN 1 ELSE -1 END) AS b20, sum(CASE WHEN (hh >> 21) & 1 = 1 THEN 1 ELSE -1 END) AS b21, sum(CASE WHEN (hh >> 22) & 1 = 1 THEN 1 ELSE -1 END) AS b22, sum(CASE WHEN (hh >> 23) & 1 = 1 THEN 1 ELSE -1 END) AS b23, sum(CASE WHEN (hh >> 24) & 1 = 1 THEN 1 ELSE -1 END) AS b24, sum(CASE WHEN (hh >> 25) & 1 = 1 THEN 1 ELSE -1 END) AS b25, sum(CASE WHEN (hh >> 26) & 1 = 1 THEN 1 ELSE -1 END) AS b26, sum(CASE WHEN (hh >> 27) & 1 = 1 THEN 1 ELSE -1 END) AS b27, sum(CASE WHEN (hh >> 28) & 1 = 1 THEN 1 ELSE -1 END) AS b28, sum(CASE WHEN (hh >> 29) & 1 = 1 THEN 1 ELSE -1 END) AS b29, sum(CASE WHEN (hh >> 30) & 1 = 1 THEN 1 ELSE -1 END) AS b30, sum(CASE WHEN (hh >> 31) & 1 = 1 THEN 1 ELSE -1 END) AS b31, sum(CASE WHEN (hh >> 32) & 1 = 1 THEN 1 ELSE -1 END) AS b32, sum(CASE WHEN (hh >> 33) & 1 = 1 THEN 1 ELSE -1 END) AS b33, sum(CASE WHEN (hh >> 34) & 1 = 1 THEN 1 ELSE -1 END) AS b34, sum(CASE WHEN (hh >> 35) & 1 = 1 THEN 1 ELSE -1 END) AS b35, sum(CASE WHEN (hh >> 36) & 1 = 1 THEN 1 ELSE -1 END) AS b36, sum(CASE WHEN (hh >> 37) & 1 = 1 THEN 1 ELSE -1 END) AS b37, sum(CASE WHEN (hh >> 38) & 1 = 1 THEN 1 ELSE -1 END) AS b38, sum(CASE WHEN (hh >> 39) & 1 = 1 THEN 1 ELSE -1 END) AS b39, sum(CASE WHEN (hh >> 40) & 1 = 1 THEN 1 ELSE -1 END) AS b40, sum(CASE WHEN (hh >> 41) & 1 = 1 THEN 1 ELSE -1 END) AS b41, sum(CASE WHEN (hh >> 42) & 1 = 1 THEN 1 ELSE -1 END) AS b42, sum(CASE WHEN (hh >> 43) & 1 = 1 THEN 1 ELSE -1 END) AS b43
+              FROM t GROUP BY doc_id
+            ), h AS (
+              SELECT doc_id, (CASE WHEN b0 > 0 THEN CAST(1 AS BIGINT) ELSE 0 END) + (CASE WHEN b1 > 0 THEN CAST(2 AS BIGINT) ELSE 0 END) + (CASE WHEN b2 > 0 THEN CAST(4 AS BIGINT) ELSE 0 END) + (CASE WHEN b3 > 0 THEN CAST(8 AS BIGINT) ELSE 0 END) + (CASE WHEN b4 > 0 THEN CAST(16 AS BIGINT) ELSE 0 END) + (CASE WHEN b5 > 0 THEN CAST(32 AS BIGINT) ELSE 0 END) + (CASE WHEN b6 > 0 THEN CAST(64 AS BIGINT) ELSE 0 END) + (CASE WHEN b7 > 0 THEN CAST(128 AS BIGINT) ELSE 0 END) + (CASE WHEN b8 > 0 THEN CAST(256 AS BIGINT) ELSE 0 END) + (CASE WHEN b9 > 0 THEN CAST(512 AS BIGINT) ELSE 0 END) + (CASE WHEN b10 > 0 THEN CAST(1024 AS BIGINT) ELSE 0 END) + (CASE WHEN b11 > 0 THEN CAST(2048 AS BIGINT) ELSE 0 END) + (CASE WHEN b12 > 0 THEN CAST(4096 AS BIGINT) ELSE 0 END) + (CASE WHEN b13 > 0 THEN CAST(8192 AS BIGINT) ELSE 0 END) + (CASE WHEN b14 > 0 THEN CAST(16384 AS BIGINT) ELSE 0 END) + (CASE WHEN b15 > 0 THEN CAST(32768 AS BIGINT) ELSE 0 END) + (CASE WHEN b16 > 0 THEN CAST(65536 AS BIGINT) ELSE 0 END) + (CASE WHEN b17 > 0 THEN CAST(131072 AS BIGINT) ELSE 0 END) + (CASE WHEN b18 > 0 THEN CAST(262144 AS BIGINT) ELSE 0 END) + (CASE WHEN b19 > 0 THEN CAST(524288 AS BIGINT) ELSE 0 END) + (CASE WHEN b20 > 0 THEN CAST(1048576 AS BIGINT) ELSE 0 END) + (CASE WHEN b21 > 0 THEN CAST(2097152 AS BIGINT) ELSE 0 END) + (CASE WHEN b22 > 0 THEN CAST(4194304 AS BIGINT) ELSE 0 END) + (CASE WHEN b23 > 0 THEN CAST(8388608 AS BIGINT) ELSE 0 END) + (CASE WHEN b24 > 0 THEN CAST(16777216 AS BIGINT) ELSE 0 END) + (CASE WHEN b25 > 0 THEN CAST(33554432 AS BIGINT) ELSE 0 END) + (CASE WHEN b26 > 0 THEN CAST(67108864 AS BIGINT) ELSE 0 END) + (CASE WHEN b27 > 0 THEN CAST(134217728 AS BIGINT) ELSE 0 END) + (CASE WHEN b28 > 0 THEN CAST(268435456 AS BIGINT) ELSE 0 END) + (CASE WHEN b29 > 0 THEN CAST(536870912 AS BIGINT) ELSE 0 END) + (CASE WHEN b30 > 0 THEN CAST(1073741824 AS BIGINT) ELSE 0 END) + (CASE WHEN b31 > 0 THEN CAST(2147483648 AS BIGINT) ELSE 0 END) + (CASE WHEN b32 > 0 THEN CAST(4294967296 AS BIGINT) ELSE 0 END) + (CASE WHEN b33 > 0 THEN CAST(8589934592 AS BIGINT) ELSE 0 END) + (CASE WHEN b34 > 0 THEN CAST(17179869184 AS BIGINT) ELSE 0 END) + (CASE WHEN b35 > 0 THEN CAST(34359738368 AS BIGINT) ELSE 0 END) + (CASE WHEN b36 > 0 THEN CAST(68719476736 AS BIGINT) ELSE 0 END) + (CASE WHEN b37 > 0 THEN CAST(137438953472 AS BIGINT) ELSE 0 END) + (CASE WHEN b38 > 0 THEN CAST(274877906944 AS BIGINT) ELSE 0 END) + (CASE WHEN b39 > 0 THEN CAST(549755813888 AS BIGINT) ELSE 0 END) + (CASE WHEN b40 > 0 THEN CAST(1099511627776 AS BIGINT) ELSE 0 END) + (CASE WHEN b41 > 0 THEN CAST(2199023255552 AS BIGINT) ELSE 0 END) + (CASE WHEN b42 > 0 THEN CAST(4398046511104 AS BIGINT) ELSE 0 END) + (CASE WHEN b43 > 0 THEN CAST(8796093022208 AS BIGINT) ELSE 0 END) AS simhash FROM s)
+
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
+                   AS hamming
+            FROM h a JOIN h b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
+        # route_edges / coverage_clean: intentionally no oracle (geometry
+        # union results and shortest-path edge tie-break sequences are not
+        # SQL-expressible) -> driver rows-only check; exactness covered by
+        # pytest goldens instead.
     }

@@ -132,12 +132,17 @@ def near_dup_pairs(docs: DataFrame, *, text_col: str = "text",
 
 
 def simhash(docs: DataFrame, text_col: str = "text",
-            id_col: str = "doc_id") -> DataFrame:
+            id_col: str = "doc_id",
+            token_hash_sql: str | None = None) -> DataFrame:
     """64-bit SimHash over whitespace tokens, fully JVM-side: xxhash64 per
-    token, 64 per-bit sign-sum aggregates, repacked to one BIGINT."""
-    toks = docs.select(id_col,
-                       F.explode(F.split(F.col(text_col), " ")).alias("w"))
-    toks = toks.withColumn("hh", F.xxhash64("w"))
+    token (or `token_hash_sql`, a SQL expression over column `w` — the
+    driver gate passes a polynomial hash DuckDB can reproduce), 64 per-bit
+    sign-sum aggregates, repacked to one BIGINT.  Empty tokens dropped."""
+    toks = docs.select(id_col, F.explode(F.expr(
+        f"filter(split({text_col}, ' '), w -> length(w) > 0)")).alias("w"))
+    toks = toks.withColumn(
+        "hh", F.expr(token_hash_sql) if token_hash_sql
+        else F.xxhash64("w"))
     aggs = [F.sum(F.when((F.shiftright("hh", b).bitwiseAND(F.lit(1))) == 1,
                          1).otherwise(-1)).alias(f"b{b}")
             for b in range(64)]
@@ -149,12 +154,13 @@ def simhash(docs: DataFrame, text_col: str = "text",
 
 
 def simhash_near_dups(docs: DataFrame, *, max_hamming: int = 8,
-                      text_col: str = "text", id_col: str = "doc_id"
-                      ) -> DataFrame:
+                      text_col: str = "text", id_col: str = "doc_id",
+                      token_hash_sql: str | None = None) -> DataFrame:
     """SimHash near-dup pairs: band the 64-bit hash into 4 x 16-bit bands
-    (two hashes within hamming distance <= 3 share a band; wider distances
-    caught probabilistically), verify with exact popcount."""
-    sh = simhash(docs, text_col, id_col)
+    (two hashes within hamming distance <= 3 share a band BY PIGEONHOLE —
+    exact; wider distances caught probabilistically), verify with exact
+    popcount."""
+    sh = simhash(docs, text_col, id_col, token_hash_sql)
     bands = sh.select(
         F.col(id_col), "simhash",
         F.explode(F.array(*[
