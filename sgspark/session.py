@@ -18,7 +18,12 @@ def get_spark(app: str = "sgspark", cores: int | None = None,
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
     if shuffle_partitions is None:
-        shuffle_partitions = max(2 * cores, 8)
+        # SGSPARK_SHUFFLE_PARTITIONS pins the partition count — the scaling
+        # harness sets it IDENTICALLY at both parallelism levels so the
+        # efficiency ratio measures parallelization of the same task set,
+        # not a partition-size change riding along with the core count
+        shuffle_partitions = int(os.environ.get(
+            "SGSPARK_SHUFFLE_PARTITIONS", max(2 * cores, 8)))
     # SGSPARK_MASTER=local-cluster runs `cores` total cores as separate
     # executor JVMs (own heaps/GC — the multi-executor proxy the scaling
     # evidence uses); default stays single-JVM local[cores].

@@ -285,6 +285,81 @@ def band_gradient(tiles: DataFrame, halo: bool = True) -> DataFrame:
     return joined.mapInPandas(kernel, schema=schema)
 
 
+def _binary_square_morph(a: np.ndarray, d: int, dilate: bool) -> np.ndarray:
+    """Binary dilation/erosion with a (2d+1)^2 square structuring element —
+    separable sliding OR/AND along rows then columns, no scipy.  Outside
+    the array counts as 0, matching scipy.ndimage's border_value=0 default
+    (the reference's array_buffer, image_collection.py:3508-3535)."""
+    x = a.astype(bool)
+    if not dilate:
+        x = ~x  # erosion by duality, but outside must stay 0 (eroded):
+    for axis in (0, 1):
+        acc = x.copy()
+        for s in range(1, d + 1):
+            sh = np.zeros_like(x)
+            src = [slice(None)] * 2
+            dst = [slice(None)] * 2
+            src[axis] = slice(s, None)
+            dst[axis] = slice(None, -s)
+            sh[tuple(dst)] = x[tuple(src)]
+            acc |= sh
+            sh = np.zeros_like(x)
+            src[axis] = slice(None, -s)
+            dst[axis] = slice(s, None)
+            sh[tuple(dst)] = x[tuple(src)]
+            acc |= sh
+        x = acc
+    if not dilate:
+        # duality gives OR of complement = NOT(AND of original); outside
+        # was treated as complement=0 i.e. original=1 — but scipy erosion
+        # treats outside as 0 (eroded), so force a d-wide border erase
+        x = ~x
+        m, n = x.shape
+        k = min(d, m)
+        x[:k, :] = False
+        x[-k:, :] = False
+        k = min(d, n)
+        x[:, :k] = False
+        x[:, -k:] = False
+    return x
+
+
+def band_buffer(tiles: DataFrame, distance: int) -> DataFrame:
+    """Buffer the 1-cells of BINARY band tiles by `distance` array cells
+    (reference `Band.buffer` / `array_buffer`,
+    image_collection.py:1288-1300, 3508-3535: square structuring element,
+    positive = dilation, negative = erosion).  Raises on non-binary
+    values, like the reference.  Per tile — the reference operates on one
+    Band array; merge_tiles first for stitched-coverage morphology."""
+    if distance == 0:
+        return tiles
+    d = abs(int(distance))
+    dilate = distance > 0
+    schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                       for f in tiles.schema.fields)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out_vals = []
+            for i in range(len(pdf)):
+                n = int(pdf["nx"].iloc[i])
+                m = int(pdf["ny"].iloc[i])
+                v = np.asarray(pdf["values"].iloc[i],
+                               dtype=np.float64).reshape(m, n)
+                if not np.isin(v, (0.0, 1.0)).all():
+                    raise ValueError(
+                        "Array must be all 0s and 1s or boolean.")
+                r = _binary_square_morph(v != 0, d, dilate)
+                out_vals.append(r.astype(np.float64).ravel().tolist())
+            out = pdf.copy()
+            out["values"] = out_vals
+            yield out
+
+    return tiles.mapInPandas(kernel, schema=schema)
+
+
 def merge_tiles(tiles: DataFrame, by: list[str], how: str = "mean"
                 ) -> DataFrame:
     """Merge raster tiles that share (by) keys + the same tile_id —
