@@ -110,11 +110,15 @@ def near_dup_pairs(docs: DataFrame, *, text_col: str = "text",
     from pyspark import StorageLevel
     sh_raw = shingles(docs, text_col, id_col, width, distinct=False)
     cand = lsh_candidate_pairs(minhash_sketch(sh_raw, id_col, k), id_col, k)
-    sizes = sh_raw.groupBy(id_col).agg(F.countDistinct("sh").alias("n"))
     cand_ids = (cand.select(F.col("a").alias(id_col))
                 .union(cand.select(F.col("b").alias(id_col))).distinct())
     sh_c = sh_raw.join(cand_ids, id_col, "left_semi").distinct() \
         .persist(StorageLevel.MEMORY_AND_DISK)
+    # set sizes are only consumed for CANDIDATE pairs, and sh_c is already
+    # the distinct shingle set of exactly those docs — counting it skips
+    # the corpus-wide countDistinct shuffle entirely (round 3; at 100 TB
+    # that shuffle was the pipeline's largest exchange)
+    sizes = sh_c.groupBy(id_col).agg(F.count("*").alias("n"))
     inter = (cand
              .join(sh_c.toDF("a", "sh"), "a")
              .join(sh_c.toDF("b", "sh_b"), "b")
