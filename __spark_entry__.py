@@ -829,6 +829,83 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(s.s_suppkey AS BIGINT) AS did, d.c AS cost
             FROM supplier s LEFT JOIN d128 d
               ON d.u = 1 AND d.v = CAST(s.s_suppkey AS BIGINT)""",
+        # Shortest-path EDGE SEQUENCE with the engine's exact tie-break:
+        # optimal predecessors of u are {v : dist(v) + w(v,u) = dist(u)}
+        # (candidates from non-final rounds coincide with this set by the
+        # triangle inequality), and the engine's min(struct(cost, pred))
+        # picks the LEXICOGRAPHICALLY smallest pred STRING — reproduced
+        # with min(CAST(v AS VARCHAR)); the chain walk is a plain
+        # recursive CTE (round-3 upgrade from rows-only).
+        "route_edges": """
+            -- min-plus matrix squaring: d(2k) = min over mid of
+            -- d(k)+d(k); 7 doublings cover 128 hops >= graph diameter
+            WITH RECURSIVE e0 AS (
+              SELECT CAST(a.s_suppkey AS BIGINT) AS u,
+                     CAST(a.s_suppkey + 1 AS BIGINT) AS v,
+                     CAST(1 + a.s_suppkey % 7 AS BIGINT) AS c
+              FROM supplier a JOIN supplier b
+                ON b.s_suppkey = a.s_suppkey + 1
+              UNION ALL
+              SELECT CAST(a.s_suppkey AS BIGINT),
+                     CAST(a.s_suppkey + 10 AS BIGINT), 5
+              FROM supplier a JOIN supplier b
+                ON b.s_suppkey = a.s_suppkey + 10
+            ), e AS (
+              SELECT u, v, c FROM e0
+              UNION ALL SELECT v, u, c FROM e0
+              UNION ALL SELECT CAST(s_suppkey AS BIGINT),
+                               CAST(s_suppkey AS BIGINT), 0 FROM supplier
+            ), d1 AS (
+              SELECT u, v, min(c) AS c FROM e GROUP BY u, v
+            ), d2 AS (
+              SELECT a.u, b.v, min(a.c + b.c) AS c
+              FROM d1 a JOIN d1 b ON a.v = b.u GROUP BY a.u, b.v
+            ), d4 AS (
+              SELECT a.u, b.v, min(a.c + b.c) AS c
+              FROM d2 a JOIN d2 b ON a.v = b.u GROUP BY a.u, b.v
+            ), d8 AS (
+              SELECT a.u, b.v, min(a.c + b.c) AS c
+              FROM d4 a JOIN d4 b ON a.v = b.u GROUP BY a.u, b.v
+            ), d16 AS (
+              SELECT a.u, b.v, min(a.c + b.c) AS c
+              FROM d8 a JOIN d8 b ON a.v = b.u GROUP BY a.u, b.v
+            ), d32 AS (
+              SELECT a.u, b.v, min(a.c + b.c) AS c
+              FROM d16 a JOIN d16 b ON a.v = b.u GROUP BY a.u, b.v
+            ), d64 AS (
+              SELECT a.u, b.v, min(a.c + b.c) AS c
+              FROM d32 a JOIN d32 b ON a.v = b.u GROUP BY a.u, b.v
+            ), d128 AS (
+              SELECT a.u, b.v, min(a.c + b.c) AS c
+              FROM d64 a JOIN d64 b ON a.v = b.u GROUP BY a.u, b.v
+            ), dist AS MATERIALIZED (
+              SELECT v AS node, c FROM d128 WHERE u = 1
+            ), w AS MATERIALIZED (
+              SELECT u, v, min(c) AS c FROM e WHERE u <> v GROUP BY u, v
+            ), pred AS MATERIALIZED (
+              SELECT t.node,
+                     CAST(min(CAST(p.node AS VARCHAR)) AS BIGINT) AS pred
+              FROM dist t
+              JOIN w ON w.v = t.node
+              JOIN dist p ON p.node = w.u AND p.c + w.c = t.c
+              WHERE t.node <> 1
+              GROUP BY t.node
+            ), walk AS (
+              SELECT 0 AS k,
+                     (SELECT CAST(max(s_suppkey) AS BIGINT) FROM supplier)
+                     AS node
+              UNION ALL
+              SELECT walk.k + 1, p.pred
+              FROM walk JOIN pred p ON p.node = walk.node
+            ), hops AS (
+              SELECT walk.k, p.pred AS source, walk.node AS target
+              FROM walk JOIN pred p ON p.node = walk.node
+            )
+            SELECT CAST((SELECT max(k) FROM hops) + 1 - k AS INTEGER) AS seq,
+                   CAST(source AS VARCHAR) AS source,
+                   CAST(target AS VARCHAR) AS target,
+                   CAST(w.c AS DOUBLE) AS cost
+            FROM hops JOIN w ON w.u = hops.source AND w.v = hops.target""",
         "gridloop_tile_counts": f"""
             SELECT {tile} AS tile_id, count(*) AS n_points
             FROM documents GROUP BY 1""",
@@ -1126,8 +1203,7 @@ def oracle_sql() -> dict[str, str]:
                    AS hamming
             FROM h a JOIN h b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
-        # route_edges / coverage_clean: intentionally no oracle (geometry
-        # union results and shortest-path edge tie-break sequences are not
-        # SQL-expressible) -> driver rows-only check; exactness covered by
-        # pytest goldens instead.
+        # coverage_clean: intentionally no oracle (geometry-union results
+        # are not SQL-expressible) -> driver rows-only check; exactness
+        # covered by pytest goldens instead.
     }

@@ -165,3 +165,57 @@ def test_partition_grid_margin(spark, tmp_path):
     got1 = read_geopandas(spark, path, mask=(150, 0, 160, 60),
                           partition_grid=("band", 100, 200)).toPandas()
     assert set(got1.gid) == {0, 1}
+
+
+# --------------------------------------------- tier 2b: convex x convex
+def test_overlay_convex_nonrect_tier(spark):
+    """Octagon x hexagon layers exercise the batched convex x convex
+    half-plane tier; differential oracle = the scalar polygon_boolean on
+    the same WKB pairs."""
+    import itertools
+    from sgspark.geom.clip import polygon_boolean
+    from sgspark.geom.wkb import from_wkb as _fw
+
+    def ngon_wkt(cx, cy, r, n, rot):
+        pts = [(cx + r * np.cos(rot + 2 * np.pi * i / n),
+                cy + r * np.sin(rot + 2 * np.pi * i / n)) for i in range(n)]
+        pts.append(pts[0])
+        return "POLYGON ((" + ", ".join(f"{x:.6f} {y:.6f}"
+                                        for x, y in pts) + "))"
+
+    a_rows = [(i, ngon_wkt(i * 7.0, 0.0, 5.0, 8, 0.1)) for i in range(6)]
+    b_rows = [(j, ngon_wkt(j * 7.0 + 3.0, 1.5, 4.0, 6, 0.4))
+              for j in range(6)]
+    df1 = wkt_to_wkb_df(spark.createDataFrame(
+        pd.DataFrame(a_rows, columns=["aid", "geometry_wkt"])))
+    df2 = wkt_to_wkb_df(spark.createDataFrame(
+        pd.DataFrame(b_rows, columns=["bid", "geometry_wkt"])))
+    out = clean_overlay(df1, df2, "intersection", id1="aid", id2="bid",
+                        gridsize=10.0).toPandas()
+    got = {(r.aid, r.bid): from_wkb([r.geometry]).area()[0]
+           for r in out.itertuples()}
+    # scalar differential oracle over every pair
+    ga = _fw([r[1] for r in
+              wkt_to_wkb_df(spark.createDataFrame(
+                  pd.DataFrame(a_rows, columns=["aid", "geometry_wkt"])))
+              .orderBy("aid").select("aid", "geometry").collect()])
+    gb = _fw([r[1] for r in
+              wkt_to_wkb_df(spark.createDataFrame(
+                  pd.DataFrame(b_rows, columns=["bid", "geometry_wkt"])))
+              .orderBy("bid").select("bid", "geometry").collect()])
+    from sgspark.geom.clip import ring_area as _ra
+    n_hits = 0
+    for i, j in itertools.product(range(6), range(6)):
+        pa = [ga.coords[ga.ring_offsets[k]:ga.ring_offsets[k + 1]]
+              for k in range(ga.part_offsets[ga.geom_offsets[i]],
+                             ga.part_offsets[ga.geom_offsets[i] + 1])]
+        pb = [gb.coords[gb.ring_offsets[k]:gb.ring_offsets[k + 1]]
+              for k in range(gb.part_offsets[gb.geom_offsets[j]],
+                             gb.part_offsets[gb.geom_offsets[j] + 1])]
+        res = polygon_boolean([pa], [pb], "intersection")
+        area = sum(_ra(r[0]) for r in res)
+        if area > 1e-9:
+            n_hits += 1
+            assert (i, j) in got, (i, j)
+            assert got[(i, j)] == pytest.approx(area, rel=1e-9)
+    assert n_hits == len(got) and n_hits > 0
