@@ -206,7 +206,14 @@ def cell_candidate_pairs(l0: DataFrame, r0: DataFrame, gridsize: float,
                          "miny AS by0", "maxx AS bx1", "maxy AS by1"),
         l_small.select("__lid", "__lg", "minx", "miny", "maxx", "maxy"),
         False))
-    return cand
+    # ANCHOR DEDUP, JVM-SIDE: a pair appears once per shared cover cell;
+    # keep only the copy whose cell holds the lower-left corner of the
+    # cover-bbox intersection.  Pure codegen — duplicate pairs die before
+    # the Arrow transfer, and downstream kernels receive ONLY (id, geom)
+    # columns (round 3: was a Python-side filter shipping 5 extra columns
+    # per row through Arrow).
+    return cand.where(F.expr(f"({anchor_sql}) = cell_key")) \
+               .select("__lid", "__lg", "__rid", "__rg")
 
 
 def sjoin_pairs(left: DataFrame, right: DataFrame, predicate: str = "intersects",
@@ -266,23 +273,13 @@ def sjoin_pairs(left: DataFrame, right: DataFrame, predicate: str = "intersects"
     if need_dist:
         out_schema += ", distance double"
 
-    g = float(gridsize)
     pred = predicate
     dist_cap = distance
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # anchor dedup already happened JVM-side (cell_candidate_pairs);
+        # batches carry only (id, geom) per side
         for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            # anchor-cell dedup: pair counted only in the cell holding the
-            # lower-left corner of the (cover-)bbox intersection
-            ax = np.maximum(pdf["__lminx"].to_numpy(), pdf["__rminx"].to_numpy())
-            ay = np.maximum(pdf["__lminy"].to_numpy(), pdf["__rminy"].to_numpy())
-            acx = np.floor((ax + FALSE_EASTING) / g).astype(np.int64)
-            acy = np.floor(ay / g).astype(np.int64)
-            anchor = acx * np.int64(1 << Y_BITS) + acy
-            keep = anchor == pdf["cell_key"].to_numpy()
-            pdf = pdf.loc[keep]
             if len(pdf) == 0:
                 continue
             # unique-geometry decode per side

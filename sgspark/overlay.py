@@ -38,7 +38,6 @@ from .geom.clip import (clip_rings_by_rects_batch, padded_ring_areas,
 from .geom.array import MULTIPOLYGON, POLYGON, GeomArray, from_rings
 from .geom.wkb import from_wkb, single_ring_polygons_wkb, to_wkb
 from .joins import cell_candidate_pairs, sjoin_pairs
-from .cells import FALSE_EASTING, Y_BITS
 
 HOWS = ("intersection", "union", "identity", "symmetric_difference",
         "difference", "update")
@@ -255,20 +254,10 @@ def _intersection_rows(df1, df2, id1, id2, gridsize) -> DataFrame:
                     F.col("geometry").alias("__rg"), *_BBOX)
     cand = cell_candidate_pairs(l0, r0, gridsize)
 
-    g = float(gridsize)
-
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # anchor dedup already happened JVM-side (cell_candidate_pairs);
+        # batches carry only (id, geom) per side
         for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            ax = np.maximum(pdf["__lminx"].to_numpy(),
-                            pdf["__rminx"].to_numpy())
-            ay = np.maximum(pdf["__lminy"].to_numpy(),
-                            pdf["__rminy"].to_numpy())
-            anchor = (np.floor((ax + FALSE_EASTING) / g).astype(np.int64)
-                      * np.int64(1 << Y_BITS)
-                      + np.floor(ay / g).astype(np.int64))
-            pdf = pdf.loc[anchor == pdf["cell_key"].to_numpy()]
             if len(pdf) == 0:
                 continue
             pdf = pdf.rename(columns={"__lid": id1, "__rid": rid})
