@@ -193,10 +193,15 @@ def buffer(ga: GeomArray, dist, quad_segs: int = 30) -> GeomArray:
                 ring_lists.append([])
                 out_kinds.append(POLYGON)
                 continue
-            parts = []
+            # dilate_line returns CCW shells AND CW loops for holes the
+            # buffer sealed off (near-closed polylines).  Nest CW loops as
+            # interior rings of their containing shell (like the polygon
+            # path) BEFORE unioning, else a sealed hole is dropped.
+            from .clip import rings_to_polygons
+            loops = []
             for line in ga.rings_of_geom(g):
-                parts.extend([loop] for loop in
-                             dilate_line(line, d, quad_segs))
+                loops.extend(dilate_line(line, d, quad_segs))
+            parts = rings_to_polygons(loops)
             if len(parts) > 1:
                 parts = union_many(parts)
             ring_lists.append(parts)

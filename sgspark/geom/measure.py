@@ -116,8 +116,16 @@ def parts_thin(parts: list[list[np.ndarray]], pitch: float,
             if buffer_polygon([rings], -thr, quad_segs=4):
                 return False  # erosion nonempty: NOT thin
         except RuntimeError:
-            # degeneracy ladder exhausted: grid-sample fallback
-            if _parts_sample_max(rings, pitch, stop_at=thr) >= thr:
+            # degeneracy ladder exhausted: grid-sample fallback.  Huge-extent
+            # slivers would blow the 4M-sample cap at the requested pitch —
+            # coarsen to the finest pitch the cap allows (the sampler stays a
+            # valid lower bound on the inradius; stop_at=thr still early-exits
+            # the moment a fat spot is found) instead of crashing the job.
+            ext = rings[0]
+            w = float(ext[:, 0].max() - ext[:, 0].min())
+            h = float(ext[:, 1].max() - ext[:, 1].min())
+            p_eff = max(pitch, np.sqrt(max(w * h, 1e-300) / 3.9e6))
+            if _parts_sample_max(rings, p_eff, stop_at=thr) >= thr:
                 return False
     return True
 

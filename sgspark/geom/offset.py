@@ -345,8 +345,20 @@ def erode_ring(ring: np.ndarray, r: float, quad_segs: int = 30
 
 def dilate_line(line: np.ndarray, r: float, quad_segs: int = 30
                 ) -> list[np.ndarray]:
-    """Positive buffer of an open polyline (round caps & joins)."""
+    """Positive buffer of a polyline (round caps & joins).  A CLOSED
+    polyline (first vertex == last, e.g. a roundabout) buffers to an
+    annulus, like GEOS: outward dilation of the ring (its loops, incl. CW
+    sealed holes) plus the eroded ring's loops reversed to CW holes.  The
+    doubled-back-ring offset construction would retrace coincident geometry
+    and always degenerate on exactly-closed input."""
     line = np.asarray(line, dtype=np.float64)
+    keep = np.ones(len(line), dtype=bool)
+    keep[1:] = (np.abs(line[1:] - line[:-1]) > 0).any(axis=1)
+    line = line[keep]
+    if len(line) >= 4 and bool((line[0] == line[-1]).all()):
+        loops = list(dilate_ring(line, r, quad_segs))
+        loops.extend(s[::-1] for s in erode_ring(line, r, quad_segs))
+        return loops
     a, b = line[:-1], line[1:]
     for attempt in range(5):
         r_eff = r * (1.0 + attempt * 3e-9)

@@ -1,0 +1,125 @@
+"""Round-4 ADVICE fixes.
+
+1. LINESTRING buffers nest CW sealed-hole loops as interior rings (a
+   near-closed polyline buffers to an annulus, not a filled disk).
+2. Exactly-closed polylines (roundabouts) buffer to an annulus instead of
+   raising through the doubled-back-ring degeneracy ladder.
+3. parts_thin's grid fallback coarsens its pitch for huge-extent slivers
+   instead of crashing on the 4M-sample cap.
+
+Oracles are implementation-independent: a dense grid distance-field over
+the polyline (fraction of cells within r of the curve), matching GEOS
+semantics rather than the kernel's own arithmetic.
+"""
+
+import numpy as np
+import pytest
+
+from sgspark.geom.array import LINESTRING, from_rings
+from sgspark.geom.buffer import buffer
+
+QS = 16
+
+
+def circle_line(R, n=72, closed=True, cx=0.0, cy=0.0):
+    t = np.linspace(0, 2 * np.pi, n + 1)
+    pts = np.c_[cx + R * np.cos(t), cy + R * np.sin(t)]
+    if closed:
+        pts[-1] = pts[0]  # bit-exact closure
+        return pts
+    return pts[:-1]  # leave the last segment open (tiny gap)
+
+
+def grid_band_area(line, r, cell=0.02):
+    """Grid oracle: area of {x : dist(x, polyline) <= r}."""
+    a, b = line[:-1], line[1:]
+    minx, miny = line[:, 0].min() - r, line[:, 1].min() - r
+    maxx, maxy = line[:, 0].max() + r, line[:, 1].max() + r
+    xs = np.arange(minx + cell / 2, maxx, cell)
+    ys = np.arange(miny + cell / 2, maxy, cell)
+    PX = np.repeat(xs, len(ys))
+    PY = np.tile(ys, len(xs))
+    P = np.c_[PX, PY]
+    d = np.full(len(P), np.inf)
+    for i in range(len(a)):
+        ab = b[i] - a[i]
+        t = np.clip(((P - a[i]) @ ab) / max(ab @ ab, 1e-300), 0.0, 1.0)
+        proj = a[i] + t[:, None] * ab
+        d = np.minimum(d, np.hypot(P[:, 0] - proj[:, 0],
+                                   P[:, 1] - proj[:, 1]))
+    return float((d <= r).sum()) * cell * cell
+
+
+def _buffer_line(pts, r):
+    ga = from_rings([[pts]], [LINESTRING])
+    return buffer(ga, r, quad_segs=QS)
+
+
+def n_holes(ga):
+    tot = 0
+    for g in range(len(ga)):
+        for s in range(ga.geom_offsets[g], ga.geom_offsets[g + 1]):
+            tot += int(ga.part_offsets[s + 1] - ga.part_offsets[s]) - 1
+    return tot
+
+
+def test_near_closed_line_buffer_is_annulus():
+    # polyline tracing a radius-5 circle with a small gap; r=0.5 seals the
+    # gap, so the result must carry the interior hole (ADVICE r3, high)
+    line = circle_line(5.0, n=72, closed=False)
+    out = _buffer_line(line, 0.5)
+    got = out.area()[0]
+    want = grid_band_area(line, 0.5, cell=0.01)
+    assert got == pytest.approx(want, rel=0.02)
+    assert got < 40  # NOT the filled disk (~94.7)
+    assert n_holes(out) == 1
+
+
+def test_exactly_closed_line_buffer_is_annulus():
+    # roundabout: first vertex == last — previously raised RuntimeError
+    line = circle_line(5.0, n=72, closed=True)
+    out = _buffer_line(line, 0.5)
+    want = grid_band_area(line, 0.5, cell=0.01)
+    assert out.area()[0] == pytest.approx(want, rel=0.02)
+    assert n_holes(out) == 1
+
+
+def test_closed_line_thinner_than_radius_fills_in():
+    # tiny ring, fat buffer: the hole erodes away -> filled disk, no hole
+    line = circle_line(0.3, n=36, closed=True)
+    out = _buffer_line(line, 0.5)
+    want = grid_band_area(line, 0.5, cell=0.004)
+    assert out.area()[0] == pytest.approx(want, rel=0.03)
+    assert n_holes(out) == 0
+
+
+def test_closed_line_buffer_in_spark_buffdiss(spark):
+    """End-to-end: a layer containing a closed LineString (roundabout) no
+    longer crashes buff/buffdiss (ADVICE r3, medium)."""
+    import pandas as pd
+    from sgspark.dissolve import buffdissexp
+    from sgspark.io import wkt_to_wkb_df
+
+    ring = circle_line(5.0, n=24, closed=True)
+    wkt = "LINESTRING (" + ", ".join(f"{x} {y}" for x, y in ring) + ")"
+    df = wkt_to_wkb_df(spark.createDataFrame(pd.DataFrame({
+        "pid": [0, 1], "grp": ["a", "a"],
+        "wkt": [wkt, "LINESTRING (20 0, 24 0)"]})), "wkt")
+    out = buffdissexp(df, 0.5, by=["grp"], quad_segs=QS)
+    rows = out.count()
+    assert rows == 2  # annulus part + far capsule part
+
+
+def test_parts_thin_huge_extent_fallback(monkeypatch):
+    """Offset-ladder exhaustion on a country-sized sliver falls back to a
+    cap-bounded coarser grid instead of raising ValueError (ADVICE r3, low)."""
+    import sgspark.geom.measure as M
+
+    def boom(*a, **k):
+        raise RuntimeError("ladder exhausted")
+
+    import sgspark.geom.offset as O
+    monkeypatch.setattr(O, "buffer_polygon", boom)
+    # 1e6 x 2000 rectangle; pitch 1.0 would need 2e9 samples
+    ext = np.array([[0, 0], [1e6, 0], [1e6, 2000], [0, 2000], [0, 0]])
+    assert M.parts_thin([[ext]], pitch=1.0, thr=10.0) is False  # fat: r=1000
