@@ -145,36 +145,44 @@ def diss(df: DataFrame, by: list[str] | None = None, *,
     return out
 
 
+# kind-code -> singlepart kind-code lookup (index = WKB type 0..6)
+_SINGLE_OF = np.array([0, 1, 2, 3, 1, 2, 3], dtype=np.int8)
+
+
 def explode_parts(df: DataFrame, geometry: str = "geometry") -> DataFrame:
     """Multipart -> singlepart rows (`make_all_singlepart`,
-    geometry_types.py:12-36 + pandas explode)."""
-    cols = df.columns
+    geometry_types.py:12-36 + pandas explode).  GEOMETRYCOLLECTIONs are
+    split at the WKB byte level first (rare path), then the multipart
+    explode is pure offsets arithmetic: each part of the batch GeomArray
+    becomes its own geometry by substituting geom_offsets = arange — no
+    per-row Python, no coordinate copies."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from .geom.array import (LINESTRING, MULTILINESTRING, MULTIPOINT,
-                                 MULTIPOLYGON, POINT)
+        from .geom.array import GeomArray
+        from .geom.wkb import flatten_collections, wkb_gtype
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            ga = from_wkb(pdf[geometry].tolist())
-            rows = []
-            for i in range(len(ga)):
-                kind = int(ga.kinds[i])
-                p0, p1 = ga.geom_offsets[i], ga.geom_offsets[i + 1]
-                single_kind = {MULTIPOINT: POINT, MULTILINESTRING: LINESTRING,
-                               MULTIPOLYGON: POLYGON}.get(kind, kind)
-                for p in range(p0, p1):
-                    r0, r1 = ga.part_offsets[p], ga.part_offsets[p + 1]
-                    rings = [ga.coords[ga.ring_offsets[r]:ga.ring_offsets[r + 1]]
-                             for r in range(r0, r1)]
-                    part = [rings] if single_kind == POLYGON else [rings[0]]
-                    sub = from_rings([part], [single_kind])
-                    rows.append((i, to_wkb(sub)[0]))
-            if not rows:
+            blobs = pdf[geometry].tolist()
+            if any(wkb_gtype(b) == 7 for b in blobs):
+                src0, flat = [], []
+                for i, b in enumerate(blobs):
+                    for c in flatten_collections(b):
+                        src0.append(i)
+                        flat.append(c)
+                pdf = pdf.iloc[src0]
+                blobs = flat
+            ga = from_wkb(blobs)
+            counts = np.diff(ga.geom_offsets)
+            src = np.repeat(np.arange(len(ga)), counts)
+            if len(src) == 0:
                 continue
-            src = np.array([r[0] for r in rows])
+            sub = GeomArray(
+                _SINGLE_OF[ga.kinds][src],
+                ga.coords, ga.ring_offsets, ga.part_offsets,
+                np.arange(len(src) + 1, dtype=np.int64))
             out = pdf.iloc[src].copy()
-            out[geometry] = [r[1] for r in rows]
+            out[geometry] = to_wkb(sub)
             yield out
 
     schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"

@@ -340,3 +340,51 @@ def from_wkt(strs) -> GeomArray:
                 parts.append(rings)
             ring_lists.append(parts)
     return from_rings(ring_lists, kinds)
+
+
+# ---------------------------------------------------------------------- #
+# GEOMETRYCOLLECTION handling (WKB type 7).  The GeomArray model is
+# single-family (reference `geometry_types.py:39-136` explodes collections
+# before any typed operation), so collections are split at the WKB byte
+# level: each child of a collection is a self-contained WKB blob (its own
+# byte-order marker + header), so splitting is a pure offset walk with no
+# re-encoding.
+# ---------------------------------------------------------------------- #
+def wkb_gtype(blob: bytes) -> int:
+    """Geometry type code (1..7) from a WKB header; 1 for None/empty."""
+    if blob is None or len(blob) < 5:
+        return 1
+    bo = "<" if blob[0] == 1 else ">"
+    (g,) = struct.unpack_from(bo + "I", blob, 1)
+    return g % 1000
+
+
+def _end_of_geom(buf: memoryview, off: int) -> int:
+    bo = "<" if buf[off] == 1 else ">"
+    (gtype,) = struct.unpack_from(bo + "I", buf, off + 1)
+    g = gtype % 1000
+    if g == 7:
+        (ng,) = struct.unpack_from(bo + "I", buf, off + 5)
+        o = off + 9
+        for _ in range(ng):
+            o = _end_of_geom(buf, o)
+        return o
+    _, _, end = _dec_one(buf, off)
+    return end
+
+
+def flatten_collections(blob: bytes) -> list[bytes]:
+    """Split a (possibly nested) WKB GEOMETRYCOLLECTION into its child WKB
+    blobs; non-collection blobs pass through as [blob]."""
+    if wkb_gtype(blob) != 7:
+        return [blob]
+    bo = "<" if blob[0] == 1 else ">"
+    (ng,) = struct.unpack_from(bo + "I", blob, 5)
+    mv = memoryview(blob)
+    out: list[bytes] = []
+    off = 9
+    for _ in range(ng):
+        end = _end_of_geom(mv, off)
+        out.extend(flatten_collections(bytes(mv[off:end])))
+        off = end
+    return out

@@ -1,0 +1,75 @@
+"""Reference-parity geometry-type APIs.
+
+Named twins of the reference's type-normalization helpers
+(`geometry_types.py:12-136`, `general.py:41-44`): `make_all_singlepart`,
+`to_single_geom_type`, `split_geom_types`.  The engine's geometry model is
+already single-family per row (the `geom_kind` column), but users porting
+reference code expect these names and their GeometryCollection-explode-first
+nuance.
+
+Type dispatch is JVM-side: the WKB header's type code is read with
+`substring`/`conv` codegen expressions (plain ISO WKB, both byte orders),
+so filtering by geometry family never leaves whole-stage codegen.  Only the
+rare collection-explode path runs an Arrow kernel, and only over the
+collection rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# family name -> WKB type codes (LinearRing has no WKB code; lines cover it)
+_FAMILY_CODES = {"polygon": (3, 6), "line": (2, 5), "point": (1, 4)}
+
+
+def wkb_gtype_col(geometry: str = "geometry") -> Column:
+    """WKB geometry-type code (1..7) as a codegen Column: byte-order marker
+    selects which header byte is the low byte of the uint32 type field.
+    Plain ISO codes only (the engine writes nothing else)."""
+    g = geometry
+    return F.expr(
+        f"CASE WHEN {g} IS NULL OR length({g}) < 5 THEN 1 "
+        f"WHEN hex(substring({g}, 1, 1)) = '01' "
+        f"THEN cast(conv(hex(substring({g}, 2, 1)), 16, 10) AS int) "
+        f"ELSE cast(conv(hex(substring({g}, 5, 1)), 16, 10) AS int) END"
+    )
+
+
+def make_all_singlepart(df: DataFrame, geometry: str = "geometry"
+                        ) -> DataFrame:
+    """Make all geometries single part (reference `make_all_singlepart`,
+    geometry_types.py:12-36: explode until nothing multi remains —
+    GeometryCollections explode recursively)."""
+    from .dissolve import explode_parts
+    return explode_parts(df, geometry)
+
+
+def to_single_geom_type(df: DataFrame, geom_type: str,
+                        geometry: str = "geometry") -> DataFrame:
+    """Keep only the given geometry family (reference `to_single_geom_type`,
+    geometry_types.py:39-136): GeometryCollections are exploded to
+    singleparts first and their children then filtered; multipart AND
+    singlepart members of the family are kept."""
+    fam = next((k for k in _FAMILY_CODES if k in geom_type), None)
+    if fam is None:
+        raise ValueError(
+            f"Invalid geom_type {geom_type!r}. "
+            "Should be 'polygon', 'line' or 'point'")
+    code = wkb_gtype_col(geometry)
+    collections = df.where(code == 7)
+    exploded = make_all_singlepart(collections, geometry)
+    both = df.unionByName(exploded)
+    return both.where(wkb_gtype_col(geometry).isin(
+        list(_FAMILY_CODES[fam])))
+
+
+def split_geom_types(df: DataFrame, geometry: str = "geometry"
+                     ) -> tuple[DataFrame, ...]:
+    """One DataFrame per distinct geometry type present (reference
+    `split_geom_types`, general.py:41-44).  The distinct-type probe is one
+    tiny aggregate (<=7 rows) — legitimately driver-sized."""
+    code = wkb_gtype_col(geometry)
+    present = sorted(
+        r[0] for r in
+        df.select(code.alias("gt")).distinct().collect())
+    return tuple(df.where(code == int(t)) for t in present)

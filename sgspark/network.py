@@ -507,3 +507,20 @@ class NetworkAnalysisRules:
         key = (f"{self.weight}|{self.directed}|{self.search_tolerance}|"
                f"{self.split_lines}")
         return hashlib.md5(key.encode()).hexdigest()
+
+
+def get_component_size(edges: DataFrame) -> DataFrame:
+    """Add `component_index` and `component_size` columns to a network's
+    edges (reference `get_component_size`,
+    finding_isolated_networks.py:66-104): label connected components over
+    the node graph, then each edge carries the node-count of its component.
+    One extra groupBy over the component labels — no driver-side graph."""
+    comp = get_connected_components(edges)
+    sizes = comp.groupBy("cluster").agg(
+        F.count("*").alias("component_size"))
+    node_info = comp.join(sizes, "cluster")  # AQE broadcasts when small
+    src_info = node_info.select(
+        F.col("id").alias("source"),
+        F.col("cluster").alias("component_index"),
+        "component_size")
+    return edges.join(src_info, "source")
