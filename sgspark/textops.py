@@ -159,11 +159,21 @@ def simhash(docs: DataFrame, text_col: str = "text",
 
 def simhash_near_dups(docs: DataFrame, *, max_hamming: int = 8,
                       text_col: str = "text", id_col: str = "doc_id",
-                      token_hash_sql: str | None = None) -> DataFrame:
+                      token_hash_sql: str | None = None,
+                      max_bucket: int = 10_000) -> DataFrame:
     """SimHash near-dup pairs: band the 64-bit hash into 4 x 16-bit bands
     (two hashes within hamming distance <= 3 share a band BY PIGEONHOLE —
     exact; wider distances caught probabilistically), verify with exact
-    popcount."""
+    popcount.
+
+    Skew-safe at scale: a popular band value (n docs sharing it) makes the
+    band self-join quadratic in ONE task.  Buckets above `max_bucket` are
+    salted — the probe side keys on hash(id) % S, the build side replicates
+    each row S times (S = ceil(bucket/max_bucket)) — so every join task
+    sees at most ~max_bucket build rows per key while producing exactly the
+    same pair set.  The popcount verification runs INSIDE the join stage
+    (before the distinct), so only verified near-dups are shuffled for
+    dedup, not the full quadratic candidate set."""
     sh = simhash(docs, text_col, id_col, token_hash_sql)
     bands = sh.select(
         F.col(id_col), "simhash",
@@ -171,14 +181,22 @@ def simhash_near_dups(docs: DataFrame, *, max_hamming: int = 8,
             F.concat(F.lit(f"{i}:"),
                      F.shiftright("simhash", i * 16).bitwiseAND(F.lit(0xFFFF))
                      .cast("string")) for i in range(4)])).alias("band"))
-    a = bands.toDF("a", "ha", "band")
-    b = bands.toDF("b", "hb", "band")
-    cand = a.join(b, "band").where(F.col("a") < F.col("b")) \
-            .select("a", "b", "ha", "hb").distinct()
-    return (cand.withColumn("hamming", F.bit_count(
+    counts = bands.groupBy("band").agg(F.count("*").alias("_bn"))
+    nsalt = F.greatest(
+        F.lit(1), F.ceil(F.col("_bn") / F.lit(max_bucket))).cast("int")
+    keyed = bands.join(counts, "band").withColumn("_s", nsalt)
+    a = keyed.select(
+        F.col(id_col).alias("a"), F.col("simhash").alias("ha"), "band",
+        F.pmod(F.xxhash64(F.col(id_col)), F.col("_s")).cast("int")
+        .alias("salt"))
+    b = keyed.select(
+        F.col(id_col).alias("b"), F.col("simhash").alias("hb"), "band",
+        F.explode(F.sequence(F.lit(0), F.col("_s") - 1)).alias("salt"))
+    cand = (a.join(b, ["band", "salt"]).where(F.col("a") < F.col("b"))
+            .withColumn("hamming", F.bit_count(
                 F.col("ha").bitwiseXOR(F.col("hb"))))
-            .where(F.col("hamming") <= max_hamming)
-            .select("a", "b", "hamming"))
+            .where(F.col("hamming") <= max_hamming))
+    return cand.select("a", "b", "hamming").distinct()
 
 
 # ---------------------------------------------------------------------- #
