@@ -98,9 +98,23 @@ def _collect_bounded(df: DataFrame, max_bytes: int, geom_pos: int = 1
     return rows
 
 
+def plan_is_python_free(df: DataFrame) -> bool:
+    """True when re-scanning `df` costs no Python work: its optimized plan
+    has no Arrow/pandas evaluation nodes (cached relations, checkpoints and
+    parquet scans qualify).  Used to decide whether an extra plan-time
+    probe pass over the input is cheap."""
+    try:
+        s = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:
+        return False
+    return ("MapInPandas" not in s and "PythonUDF" not in s
+            and "EvalPython" not in s and "FlatMapGroupsInPandas" not in s)
+
+
 def cell_candidate_pairs(l0: DataFrame, r0: DataFrame, gridsize: float,
                          expand: float = 0.0,
-                         assume_left_points: bool | None = None) -> DataFrame:
+                         assume_left_points: bool | None = None,
+                         probe_big: bool | None = False) -> DataFrame:
     """Shared candidate generator for every cell-join kernel (sjoin_pairs and
     the fused clean_overlay path): cover-cells equi-join with the bbox
     overlap as a JVM join filter, plus HUGE-GEOMETRY ROUTING.
@@ -126,13 +140,32 @@ def cell_candidate_pairs(l0: DataFrame, r0: DataFrame, gridsize: float,
                 f" * (cast(floor((maxy + {pre_e}) / {g}) as bigint)"
                 f" - cast(floor((miny - {pre_e}) / {g}) as bigint) + 1))")
 
-    if assume_left_points and e == 0.0:
+    # Optional plan-time probe (`probe_big`): ONE tiny job (two columns-only
+    # aggregate stages, 2 rows collected) that finds each side's max cell
+    # cover.  When a side has no oversized rows — the overwhelmingly common
+    # case — its big-branch scan, filter, and empty broadcast build are
+    # dropped from the plan entirely instead of costing a fixed ~0.7s per
+    # overlay.  Sides with kernel-derived inputs pay one extra upstream
+    # pass, so call-sites choose (overlay probes; point sjoins skip).
+    l_has_big, r_has_big = True, True
+    if probe_big is None:  # auto: probe iff the extra pass runs no Python
+        probe_big = plan_is_python_free(l0) and plan_is_python_free(r0)
+    if probe_big:
+        stats = (l0.select(F.max(F.expr(_ncells(e))).alias("m"))
+                 .unionAll(r0.select(F.max(F.expr(_ncells(0.0))).alias("m")))
+                 .collect())
+        l_has_big = (stats[0]["m"] or 0) > MAX_COVER_CELLS
+        r_has_big = (stats[1]["m"] or 0) > MAX_COVER_CELLS
+    if (assume_left_points and e == 0.0) or not l_has_big:
         l_small, l_big = l0, None  # points cover one cell; skip the branch
     else:
         l_small = l0.where(F.expr(f"{_ncells(e)} <= {MAX_COVER_CELLS}"))
         l_big = l0.where(F.expr(f"{_ncells(e)} > {MAX_COVER_CELLS}"))
-    r_small = r0.where(F.expr(f"{_ncells(0.0)} <= {MAX_COVER_CELLS}"))
-    r_big = r0.where(F.expr(f"{_ncells(0.0)} > {MAX_COVER_CELLS}"))
+    if not r_has_big:
+        r_small, r_big = r0, None
+    else:
+        r_small = r0.where(F.expr(f"{_ncells(0.0)} <= {MAX_COVER_CELLS}"))
+        r_big = r0.where(F.expr(f"{_ncells(0.0)} > {MAX_COVER_CELLS}"))
 
     l = _cover_cells(l_small, gridsize, expand=expand, prefix="l_") \
         .select("__lid", "__lg", "cell_key",
@@ -201,11 +234,12 @@ def cell_candidate_pairs(l0: DataFrame, r0: DataFrame, gridsize: float,
                              "miny AS by0", "maxx AS bx1", "maxy AS by1"),
             r0.select("__rid", "__rg", "minx", "miny", "maxx", "maxy"),
             True))
-    cand = cand.unionByName(_big_branch(
-        r_big.selectExpr("__rid AS id", "__rg AS g", "minx AS bx0",
-                         "miny AS by0", "maxx AS bx1", "maxy AS by1"),
-        l_small.select("__lid", "__lg", "minx", "miny", "maxx", "maxy"),
-        False))
+    if r_big is not None:
+        cand = cand.unionByName(_big_branch(
+            r_big.selectExpr("__rid AS id", "__rg AS g", "minx AS bx0",
+                             "miny AS by0", "maxx AS bx1", "maxy AS by1"),
+            l_small.select("__lid", "__lg", "minx", "miny", "maxx", "maxy"),
+            False))
     # ANCHOR DEDUP, JVM-SIDE: a pair appears once per shared cover cell;
     # keep only the copy whose cell holds the lower-left corner of the
     # cover-bbox intersection.  Pure codegen — duplicate pairs die before
