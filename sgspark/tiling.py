@@ -121,7 +121,8 @@ def make_ssb_grid(spark: SparkSession, bounds: tuple, gridsize: int) -> DataFram
 # ---------------------------------------------------------------------- #
 def gridloop(df: DataFrame, func: Callable[[pd.DataFrame], pd.DataFrame],
              out_schema: str, gridsize: float,
-             x: str = "x", y: str = "y", gridbuffer: float = 0.0) -> DataFrame:
+             x: str = "x", y: str = "y", gridbuffer: float = 0.0,
+             max_cell_rows: int | None = None) -> DataFrame:
     """Run `func` once per grid cell over point-keyed rows.
 
     Semantics of the reference's `gridloop` (`bounds.py:186-403`):
@@ -135,6 +136,17 @@ def gridloop(df: DataFrame, func: Callable[[pd.DataFrame], pd.DataFrame],
         `_clip_back_to_unbuffered_grid`, bounds.py:385-403).
     Invariant: union(per-cell results where not halo) == global func result
     for any gridsize / gridbuffer / parallelism.
+
+    HOT-CELL SALTING (`max_cell_rows`, round 4 — SURVEY §7.4.4's promise):
+    grouped applyInPandas is outside AQE's skew handling, so a mega-city
+    cell is one straggler task at scale.  When `func` is DECOMPOSABLE —
+    each output row depends only on its input row plus the cell's halo
+    context, i.e. func(rows_subset ∪ halo) == func(rows ∪ halo) restricted
+    to the subset (per-row maps, local neighbor lookups) — pass
+    `max_cell_rows` to split cells above that row count into salted
+    sub-invocations (halo rows replicated into every split so context is
+    preserved).  Aggregating funcs (one row per cell) are NOT decomposable;
+    leave `max_cell_rows` unset for those.
     """
     if gridbuffer < 0:
         raise ValueError("gridbuffer must be >= 0")
@@ -170,14 +182,32 @@ def gridloop(df: DataFrame, func: Callable[[pd.DataFrame], pd.DataFrame],
         for s in shifted:
             base = base.unionByName(s)
 
+    group_cols = ["__cell_key"]
+    if max_cell_rows is not None:
+        if max_cell_rows < 1:
+            raise ValueError("max_cell_rows must be >= 1")
+        counts = base.where(~F.col("__halo")).groupBy("__cell_key") \
+            .agg(F.count("*").alias("__cn"))
+        salted = base.join(counts, "__cell_key", "left")
+        s_col = F.greatest(F.lit(1), F.ceil(
+            F.coalesce(F.col("__cn"), F.lit(1)) / max_cell_rows)).cast("int")
+        own = salted.where(~F.col("__halo")).withColumn(
+            "__salt",
+            F.pmod(F.xxhash64(F.col(x), F.col(y)), s_col).cast("int"))
+        halo = salted.where(F.col("__halo")).withColumn(
+            "__salt", F.explode(F.sequence(F.lit(0), s_col - 1)))
+        base = own.unionByName(halo).drop("__cn")
+        group_cols = ["__cell_key", "__salt"]
+
     def run_cell(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        res = func(pdf)
+        res = func(pdf.drop(columns=["__salt"], errors="ignore"))
         res = res.copy()
         res["__cell_key"] = key[0]
         return res
 
     inner_schema = out_schema + ", __cell_key long"
-    out = base.groupBy("__cell_key").applyInPandas(run_cell, schema=inner_schema)
+    out = base.groupBy(*group_cols).applyInPandas(run_cell,
+                                                 schema=inner_schema)
     # clip-back: keep only rows owned by the invoking cell (halo rows were
     # computed for context, their results belong to their home cell)
     out = out.where(F.expr(cell_key_expr(x, y, gridsize)) == F.col("__cell_key"))

@@ -150,3 +150,43 @@ def test_simhash_salted_buckets_exact(spark):
                  .cast("string")) for i in range(4)])).alias("band"))
     top = bands.groupBy("band").count().agg(F.max("count")).first()[0]
     assert top >= 20  # the fixture IS skewed
+
+
+def test_gridloop_hot_cell_salting(spark):
+    """VERDICT r3 #5: cells above max_cell_rows split into salted
+    sub-invocations for decomposable funcs — same results, bounded group
+    sizes, halo context fully replicated into every split."""
+    import pandas as pd
+    from sgspark.tiling import gridloop
+
+    # one mega-cell (1000 rows near origin) + a few normal cells + a halo
+    # contributor right across the cell edge
+    n_hot = 1000
+    xs = [float(i % 9) + 0.5 for i in range(n_hot)]  # cell (0..9, 0..9)
+    ys = [float(i % 7) + 0.5 for i in range(n_hot)]
+    xs += [15.5, 25.5]
+    ys += [5.5, 5.5]
+    xs += [10.2]          # within gridbuffer 0.5 of cell 0's right edge? no
+    ys += [5.0]           # -> halo row for cell [10..20)? belongs to cell 1
+    pdf = pd.DataFrame({"x": xs, "y": ys,
+                        "rid": list(range(len(xs)))})
+    df = spark.createDataFrame(pdf)
+
+    def per_row(cell: pd.DataFrame) -> pd.DataFrame:
+        own = cell[~cell["__halo"]]
+        nh = int(cell["__halo"].sum())
+        return pd.DataFrame({"x": own.x, "y": own.y, "rid": own.rid,
+                             "nhalo": nh, "gsize": len(own)})
+
+    kw = dict(out_schema="x double, y double, rid long, nhalo int, "
+              "gsize long", gridsize=10.0, gridbuffer=0.5)
+    plain = gridloop(df, per_row, **kw).toPandas()
+    salted = gridloop(df, per_row, max_cell_rows=100, **kw).toPandas()
+    cols = ["x", "y", "rid", "nhalo"]
+    a = plain[cols].sort_values("rid").reset_index(drop=True)
+    b = salted[cols].sort_values("rid").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    # the mega-cell really split: no sub-invocation saw the full 1000 rows
+    hot = salted[salted.rid < n_hot]
+    assert hot.gsize.max() < 500
+    assert plain[plain.rid < n_hot].gsize.max() == n_hot
