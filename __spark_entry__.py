@@ -433,7 +433,20 @@ def q_route_edges(spark, sf_dir):
 
 def q_coverage_clean(spark, sf_dir):
     """coverage_clean over a deterministic dirty layer derived from nation
-    keys (rows-only gate: geometry unions aren't SQL-expressible)."""
+    keys — HASH-EXACT per-id area gate (round 4; was rows-only).
+
+    The rectilinear fixture makes every stage's output area analytic:
+      * 25 tiles keep exactly their 100x100 surface (they win every
+        double-surface contest by the (-area, id) rank);
+      * the overlapper (pid 1001) keeps its input minus the tile-covered
+        region: 100^2 - 99^2 = 199 (the cross of gap strips it covers);
+      * the frame (pid 1000) keeps its ring 605^2 - 505^2 and absorbs the
+        ENTIRE thin-gap network (width-1 strips + 0.5 margin, all
+        connected, inscribed diameter 1 < tolerance 3, and the frame has
+        the longest shared border): hole 505^2 minus tiles minus the
+        overlapper's 199.
+    Sum of outputs == the 605x605 universe exactly — the partition
+    property of coverage cleaning."""
     from sgspark.cleaning import coverage_clean
     from sgspark.io import wkt_to_wkb_df
     # 5x5 tile coverage, 100-wide tiles at pitch 101 (1-unit thin gaps),
@@ -457,7 +470,8 @@ def q_coverage_clean(spark, sf_dir):
         ["pid", "geometry_wkt"])
     out = coverage_clean(wkt_to_wkb_df(base.unionByName(extra)), 3.0,
                          id_col="pid", gridsize=300.0)
-    return out.select("pid").orderBy("pid")
+    return _area_rows(out.select("pid", "geometry"),
+                      ["pid"]).orderBy("pid")
 
 
 # horizontal test lines for the line-clip oracle: half-integer y (no
@@ -1203,7 +1217,20 @@ def oracle_sql() -> dict[str, str]:
                    AS hamming
             FROM h a JOIN h b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
-        # coverage_clean: intentionally no oracle (geometry-union results
-        # are not SQL-expressible) -> driver rows-only check; exactness
-        # covered by pytest goldens instead.
+        # coverage_clean: per-id areas of the cleaned rectilinear fixture,
+        # derived analytically (see q_coverage_clean docstring): tiles keep
+        # 100^2; the overlapper keeps 100^2 - 99^2 (tile-covered region
+        # removed); the frame keeps its ring plus the whole thin-gap
+        # network = universe - tiles - overlapper.
+        "coverage_clean": """
+            SELECT CAST(n_nationkey AS BIGINT) AS pid,
+                   CAST(100 * 100 AS DOUBLE) AS area
+            FROM nation
+            UNION ALL
+            SELECT 1000,
+                   CAST(605 * 605 - 25 * 100 * 100
+                        - (100 * 100 - 99 * 99) AS DOUBLE)
+            UNION ALL
+            SELECT 1001, CAST(100 * 100 - 99 * 99 AS DOUBLE)
+            ORDER BY pid""",
     }

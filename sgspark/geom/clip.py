@@ -499,6 +499,23 @@ def ring_boolean(ra: np.ndarray, rb: np.ndarray, op: str,
          coordinate magnitude), which removes duplicate/collinear vertices
          exactly like shapely's grid_size; fully-degenerate snapped inputs
          short-circuit to the no-cross containment result."""
+    # nested / disjoint non-crossing fast paths: EXACT (no perturbation
+    # ladder noise — nested rect coverages were picking up ~1e-5 sliver
+    # area from the eps ladder) and cheaper than a GH pass
+    ra_c = ensure_ccw(ensure_closed(np.asarray(ra)))
+    rb_c = ensure_ccw(ensure_closed(np.asarray(rb)))
+    if _ring_contains_ring(ra_c, rb_c):      # b strictly inside a
+        if op == "union":
+            return [ra_c]
+        if op == "intersection":
+            return [rb_c]
+        return [ra_c, rb_c[::-1]]            # difference: b becomes a hole
+    if _ring_contains_ring(rb_c, ra_c):      # a strictly inside b
+        if op == "union":
+            return [rb_c]
+        if op == "intersection":
+            return [ra_c]
+        return []                            # difference: a fully erased
     rb_try = rb
     for attempt in range(max_retries + 1):
         try:
@@ -543,6 +560,22 @@ def _normalize_nesting(rings: list[np.ndarray]) -> list[np.ndarray]:
         is_ccw = ring_area(r) >= 0
         out.append(r if is_ccw == want_ccw else r[::-1])
     return out
+
+
+def _ring_contains_ring(outer: np.ndarray, inner: np.ndarray) -> bool:
+    """True iff ring `inner` lies entirely inside ring `outer` (vertices
+    inside, boundaries disjoint).  Orientation-independent; bbox-prefiltered."""
+    if (inner[:, 0].min() < outer[:, 0].min() or
+            inner[:, 0].max() > outer[:, 0].max() or
+            inner[:, 1].min() < outer[:, 1].min() or
+            inner[:, 1].max() > outer[:, 1].max()):
+        return False
+    from .predicates import points_in_ring, segments_intersect_any
+    oc = ensure_closed(outer)
+    ic = ensure_closed(inner)
+    if not bool(points_in_ring(ic[:-1, 0], ic[:-1, 1], oc).all()):
+        return False
+    return not segments_intersect_any(ic, oc)
 
 
 def rings_to_polygons(rings: list[np.ndarray]) -> list[list[np.ndarray]]:
@@ -607,6 +640,14 @@ def polygon_boolean(parts_a: list[list[np.ndarray]],
             prev = cur  # residual BEFORE erasing this part of B
             nxt: list[list[np.ndarray]] = []
             for pa in prev:
+                # this part of B entirely inside one of pa's holes: B ∩ pa
+                # is empty, so erasing is a no-op.  Without this guard the
+                # ext-minus-B + re-add-holes decomposition would subtract
+                # B's area twice (it is already excluded by the hole) —
+                # the get_gaps coverage case: tiles nested in a frame hole.
+                if any(_ring_contains_ring(h, pb[0]) for h in pa[1:]):
+                    nxt.append(list(pa))
+                    continue
                 rs = ring_boolean(pa[0], pb[0], "difference")
                 ps = rings_to_polygons(rs)
                 for p in ps:
@@ -639,18 +680,93 @@ def union_many(parts: list[list[np.ndarray]]) -> list[list[np.ndarray]]:
                 a, b = parts[i], parts[j]
                 if not _bbox_overlap(a[0], b[0]):
                     continue
+                # one part nested inside the other's HOLE: the regions are
+                # disjoint, so they must stay separate parts (the exterior
+                # union would swallow the nested part — the coverage case
+                # of tiles inside a frame's hole)
+                if any(_ring_contains_ring(h, b[0]) for h in a[1:]) or \
+                        any(_ring_contains_ring(h, a[0]) for h in b[1:]):
+                    continue
                 rs = ring_boolean(a[0], b[0], "union")
                 exts = [r for r in rs if ring_area(r) >= 0]
                 if len(exts) == 1 and len(rs) >= 1:
                     new_holes = [r for r in rs if ring_area(r) < 0]
-                    merged = [exts[0]] + new_holes + a[1:] + b[1:]
+                    # holes of A ∪ B = (holesA ∩ holesB) ∪ (holesA −
+                    # extB) ∪ (holesB − extA) — three DISJOINT terms, so a
+                    # union partner filling part of a hole (a gap strip
+                    # merged into a frame along its hole rim) shrinks it
+                    # without double-subtraction; remnant pieces with their
+                    # own holes re-emit those as ISLAND parts (valid OGC
+                    # nesting depth 2)
+                    uh, islands = _union_part_holes(a, b)
+                    merged = [exts[0]] + new_holes + uh
                     parts = [p for k, p in enumerate(parts) if k not in (i, j)]
                     parts.append(merged)
+                    parts.extend(islands)
                     changed = True
                     break
             if changed:
                 break
     return parts
+
+
+def _canon_ring(r: np.ndarray) -> np.ndarray:
+    """Canonical form of a closed ring: CCW, rotated so the lexicographic
+    minimum vertex is first — for exact ring equality tests."""
+    r = ensure_ccw(ensure_closed(np.asarray(r)))[:-1]
+    k = int(np.lexsort((r[:, 1], r[:, 0]))[0])
+    return np.vstack([r[k:], r[:k]])
+
+
+def _rings_equal(a: np.ndarray, b: np.ndarray) -> bool:
+    ca, cb = _canon_ring(a), _canon_ring(b)
+    return ca.shape == cb.shape and bool((ca == cb).all())
+
+
+def _union_part_holes(a: list[np.ndarray], b: list[np.ndarray]
+                      ) -> tuple[list[np.ndarray], list[list[np.ndarray]]]:
+    """Holes of the part-union A ∪ B when the exterior union is a single
+    shell: (holesA ∩ holesB) ∪ (holesA − extB) ∪ (holesB − extA), three
+    disjoint terms.  Returns (CW holes, island parts).  Exact-equality
+    fast paths avoid the degeneracy ladder on coincident rings (the
+    gap-fills-the-hole-rim coverage case is ring-identical)."""
+    out: list[np.ndarray] = []
+    islands: list[list[np.ndarray]] = []
+
+    def emit(ps):
+        for p in ps:
+            if abs(ring_area(p[0])) == 0:
+                continue
+            out.append(ensure_ccw(p[0])[::-1])
+            islands.extend([[ensure_ccw(hh[::-1])]] for hh in p[1:])
+
+    for ha, other_ext, other_holes in ((h, b[0], b[1:]) for h in a[1:]):
+        hap = [ensure_ccw(ha[::-1])]
+        if not _bbox_overlap(ha, other_ext):
+            out.append(ha)  # disjoint from B entirely: hole survives whole
+            continue
+        if _rings_equal(ha, other_ext):
+            pass  # ha − extB = ∅
+        else:
+            emit(polygon_boolean([hap], [[ensure_ccw(other_ext)]],
+                                 "difference"))
+        for hb in other_holes:
+            if not _bbox_overlap(ha, hb):
+                continue
+            if _rings_equal(ha, hb):
+                emit([[hap[0]]])
+            else:
+                emit(polygon_boolean([hap], [[ensure_ccw(np.asarray(hb)[::-1])]],
+                                     "intersection"))
+    for hb in b[1:]:
+        hbp = [ensure_ccw(np.asarray(hb)[::-1])]
+        if not _bbox_overlap(hb, a[0]):
+            out.append(hb)
+            continue
+        if _rings_equal(hb, a[0]):
+            continue  # hb − extA = ∅
+        emit(polygon_boolean([hbp], [[ensure_ccw(a[0])]], "difference"))
+    return out, islands
 
 
 def _subtract_holes(polys, holes):
