@@ -229,13 +229,18 @@ def zones_from_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulas as synth_zones so the SQL oracle twin applies."""
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
 
+    import os
+    shape_fn = (zone_lshape_wkt
+                if os.environ.get("SGSPARK_CONCAVE_ZONES") == "1"
+                else zone_square_wkt)
+
     def gen(batches):
         for pdf in batches:
             k = pdf["c_custkey"].to_numpy().astype(np.int64)
             cx, cy, r = zone_params(k)
             yield pd.DataFrame({
                 "zone_id": k, "cx": cx, "cy": cy, "r": r,
-                "geometry_wkt": [zone_square_wkt(a, b, c)
+                "geometry_wkt": [shape_fn(a, b, c)
                                  for a, b, c in zip(cx, cy, r)]})
 
     par = max(int(spark.sparkContext.defaultParallelism), 8)
@@ -253,6 +258,20 @@ def zone_square_wkt(cx: float, cy: float, r: float) -> str:
         return str(int(v)) if v == int(v) else repr(v)
     return (f"POLYGON (({f(x0)} {f(y0)}, {f(x1)} {f(y0)}, {f(x1)} {f(y1)}, "
             f"{f(x0)} {f(y1)}, {f(x0)} {f(y0)}))")
+
+
+def zone_lshape_wkt(cx: float, cy: float, r: float) -> str:
+    """Concave L-shaped zone on the same (cx, cy, r) footprint: the square
+    minus its upper-right quadrant — 6 vertices, one reflex corner.  Used
+    by the general-geometry bench variant so the ray-cast PIP (not the
+    rectangle fast path) carries the join."""
+    x0, x1, y0, y1 = cx - r, cx + r, cy - r, cy + r
+
+    def f(v):
+        return str(int(v)) if v == int(v) else repr(v)
+    return (f"POLYGON (({f(x0)} {f(y0)}, {f(x1)} {f(y0)}, {f(x1)} {f(cy)}, "
+            f"{f(cx)} {f(cy)}, {f(cx)} {f(y1)}, {f(x0)} {f(y1)}, "
+            f"{f(x0)} {f(y0)}))")
 
 
 def synth_zones(spark: SparkSession, m: int) -> DataFrame:
