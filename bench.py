@@ -80,9 +80,13 @@ def main():
         tiled = add_grid_id(pts.withColumnRenamed("minx", "x")
                             .withColumnRenamed("miny", "y"), 1000,
                             out_col="tile_id")
-        # SPARK_GRAFT_FORCE_KERNEL=1 exercises the fully-distributed Arrow
-        # kernel path (no broadcast, no JVM predicate compilation) — the
-        # general-geometry path, used for the CPU-bound scaling measurement
+        # SPARK_GRAFT_FORCE_KERNEL=1 disables the broadcast fast path, so
+        # the join takes the fully-distributed route.  Since round 4 that
+        # route is ALSO pure JVM for polygon rights (edge arrays packed
+        # once, ray-cast PIP in codegen) — the Arrow kernel only carries
+        # distance predicates and mixed/huge rights now.  Combine with
+        # SGSPARK_CONCAVE_ZONES=1 for the general (concave) geometry
+        # scaling measurement.
         force_kernel = os.environ.get("SPARK_GRAFT_FORCE_KERNEL") == "1"
         pairs = sjoin_pairs(
             pts, zones, "within", left_id="doc_index", right_id="zone_id",

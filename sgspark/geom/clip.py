@@ -711,16 +711,42 @@ def union_many(parts: list[list[np.ndarray]]) -> list[list[np.ndarray]]:
 
 
 def _canon_ring(r: np.ndarray) -> np.ndarray:
-    """Canonical form of a closed ring: CCW, rotated so the lexicographic
-    minimum vertex is first — for exact ring equality tests."""
+    """Canonical form of a closed ring: CCW, consecutive duplicates and
+    exactly-collinear pass-through vertices removed, rotated so the
+    lexicographic minimum vertex is first — for exact ring equality tests
+    (traced rings carry noded extra vertices on straight edges)."""
     r = ensure_ccw(ensure_closed(np.asarray(r)))[:-1]
+    if len(r) > 1:
+        prev = np.roll(r, 1, axis=0)
+        r = r[(r != prev).any(axis=1)]
+    if len(r) > 3:
+        prev = np.roll(r, 1, axis=0)
+        nxt = np.roll(r, -1, axis=0)
+        v1 = r - prev
+        v2 = nxt - r
+        cross = v1[:, 0] * v2[:, 1] - v1[:, 1] * v2[:, 0]
+        dot = v1[:, 0] * v2[:, 0] + v1[:, 1] * v2[:, 1]
+        keep = ~((cross == 0) & (dot > 0))
+        if int(keep.sum()) >= 3:
+            r = r[keep]
     k = int(np.lexsort((r[:, 1], r[:, 0]))[0])
     return np.vstack([r[k:], r[:k]])
 
 
 def _rings_equal(a: np.ndarray, b: np.ndarray) -> bool:
+    """Canonicalized ring equality with a relative snap tolerance: rings
+    traced by the crossing kernels carry O(eps) interpolation noise on
+    coincident geometry, and treating a near-identical ring as identical
+    (snap-to-partner) keeps the exact fast paths in charge instead of
+    letting the perturbation ladder amplify 1e-15 vertex noise into
+    1e-6 sliver area."""
     ca, cb = _canon_ring(a), _canon_ring(b)
-    return ca.shape == cb.shape and bool((ca == cb).all())
+    if ca.shape != cb.shape:
+        return False
+    if bool((ca == cb).all()):
+        return True
+    scale = max(float(np.abs(ca).max()), float(np.abs(cb).max()), 1.0)
+    return bool(np.abs(ca - cb).max() <= 1e-9 * scale)
 
 
 def _union_part_holes(a: list[np.ndarray], b: list[np.ndarray]

@@ -136,3 +136,35 @@ def test_declines_on_mixed_or_huge_rights(spark):
     got = pair_set(out)
     assert (0, 1) in got          # (1,1) inside the L polygon (zid=1 here)
     assert (2, 0) in got and (2, 1) in got  # (2,2) on the line AND in L
+
+
+def test_dwithin_three_paths_agree(spark):
+    """dwithin against general polygons: kernel / jvm-broadcast / jvm-dist
+    must agree on pairs AND bit-exact distances (same IEEE op order)."""
+    zones = zones_df(spark)
+    pts = points_df(spark)
+
+    def rows(df):
+        return {(r[0], r[1], r[2]) for r in df.collect()}
+
+    kernel = rows(sjoin_pairs(pts, zones, "dwithin", left_id="pid",
+                              right_id="zid", distance=1.25, gridsize=7.0,
+                              broadcast_right=False))
+    jvm_d = rows(sjoin_pairs(pts, zones, "dwithin", left_id="pid",
+                             right_id="zid", distance=1.25, gridsize=7.0,
+                             broadcast_right=False,
+                             assume_left_points=True))
+    jvm_b = rows(sjoin_pairs(pts, zones, "dwithin", left_id="pid",
+                             right_id="zid", distance=1.25, gridsize=7.0,
+                             assume_left_points=True))
+    assert kernel == jvm_d == jvm_b
+    assert len(kernel) > 0
+    d = {(a, b): dist for a, b, dist in kernel}
+    assert d[(0, 0)] == 0.0          # inside -> 0
+    assert d[(4, 0)] == 0.0          # on the L's edge -> boundary = 0
+    assert (11, 2) not in d          # (35,5): corner dist sqrt(2) > 1.25
+    wider = rows(sjoin_pairs(pts, zones, "dwithin", left_id="pid",
+                             right_id="zid", distance=1.5, gridsize=7.0,
+                             assume_left_points=True))
+    dw = {(a, b): dist for a, b, dist in wider}
+    assert dw[(11, 2)] == float(np.sqrt(np.float64(1.0) + np.float64(1.0)))
