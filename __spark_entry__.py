@@ -404,6 +404,25 @@ def _supplier_graph(spark, sf_dir):
     return chain.unionByName(short)
 
 
+def q_component_size(spark, sf_dir):
+    """get_component_size over a deterministically BROKEN chain graph
+    (edge k -> k+1 missing when k % 37 == 0), so components are integer
+    intervals and their sizes have a pure-arithmetic oracle:
+    start(u) = u - ((u-1) % 37), end = min(start+36, max_key)."""
+    from sgspark.network import get_component_size
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet") \
+        .select(F.col("s_suppkey").cast("long").alias("k"))
+    edges = sup.where("k % 37 != 0") \
+        .selectExpr("cast(k as string) AS source",
+                    "cast(k + 1 as string) AS target",
+                    "cast(1 as double) AS length") \
+        .join(sup.selectExpr("cast(k as string) AS target"), "target",
+              "left_semi")
+    out = get_component_size(edges)
+    return out.selectExpr("cast(source as long) AS src",
+                          "component_size").orderBy("src")
+
+
 def q_route_costs(spark, sf_dir):
     """Multi-hop shortest-path costs from node 1 to every node, through the
     distributed Bellman-Ford; integer weights -> exact SQL oracle via
@@ -646,6 +665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clip_lines": q_clip_lines,
         "route_costs": q_route_costs,
         "route_edges": q_route_edges,
+        "component_size": q_component_size,
         "coverage_clean": q_coverage_clean,
         "dedup_exact": q_dedup_exact,
         "near_dup_pairs": q_near_dup_pairs,
@@ -797,6 +817,19 @@ def oracle_sql() -> dict[str, str]:
             WHERE abs({_LY} - {ZY}) < {ZR}
               AND least({_LX0} + {_LLEN}, {ZX} + {ZR})
                   - greatest({_LX0}, {ZX} - {ZR}) > 0""",
+        # component_size: broken-chain components are integer intervals;
+        # sizes derive from pure modular arithmetic (no graph traversal).
+        "component_size": """
+            WITH keys AS (SELECT CAST(s_suppkey AS BIGINT) AS k
+                          FROM supplier),
+            e AS (SELECT k AS src FROM keys
+                  WHERE (k % 37) <> 0
+                    AND (k + 1) IN (SELECT k FROM keys))
+            SELECT src,
+                   LEAST(src - ((src - 1) % 37) + 36,
+                         (SELECT MAX(k) FROM keys))
+                   - (src - ((src - 1) % 37)) + 1 AS component_size
+            FROM e ORDER BY src""",
         "route_costs": """
             -- min-plus matrix squaring: d(2k) = min over mid of
             -- d(k)+d(k); 7 doublings cover 128 hops >= graph diameter
