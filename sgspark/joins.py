@@ -98,17 +98,37 @@ def _collect_bounded(df: DataFrame, max_bytes: int, geom_pos: int = 1
     return rows
 
 
+_PY_PLAN_NODES = ("MapInPandas", "FlatMapGroupsInPandas", "PythonMapInArrow",
+                  "MapInArrow", "BatchEvalPython", "ArrowEvalPython",
+                  "FlatMapCoGroupsInPandas", "AttachDistributedSequence")
+
+
 def plan_is_python_free(df: DataFrame) -> bool:
     """True when re-scanning `df` costs no Python work: its optimized plan
-    has no Arrow/pandas evaluation nodes (cached relations, checkpoints and
-    parquet scans qualify).  Used to decide whether an extra plan-time
-    probe pass over the input is cheap."""
+    has no Arrow/pandas evaluation nodes ABOVE a cache boundary (cached
+    relations, checkpoints and parquet scans qualify — an InMemoryRelation
+    re-scan never re-runs its child plan, so the walk stops there instead
+    of string-matching the cached subtree's kernels).  Used to decide
+    whether an extra plan-time probe pass over the input is cheap."""
     try:
-        s = df._jdf.queryExecution().optimizedPlan().toString()
+        def walk(node) -> bool:
+            name = node.getClass().getSimpleName()
+            if "InMemoryRelation" in name:
+                return True  # cache-backed: child plan never re-runs
+            if any(p in name for p in _PY_PLAN_NODES):
+                return False
+            kids = node.children()
+            for i in range(kids.size()):
+                if not walk(kids.apply(i)):
+                    return False
+            return True
+        return walk(df._jdf.queryExecution().optimizedPlan())
     except Exception:
-        return False
-    return ("MapInPandas" not in s and "PythonUDF" not in s
-            and "EvalPython" not in s and "FlatMapGroupsInPandas" not in s)
+        try:
+            s = df._jdf.queryExecution().optimizedPlan().toString()
+        except Exception:
+            return False
+        return not any(p in s for p in _PY_PLAN_NODES)
 
 
 def cell_candidate_pairs(l0: DataFrame, r0: DataFrame, gridsize: float,
@@ -291,10 +311,12 @@ def sjoin_pairs(left: DataFrame, right: DataFrame, predicate: str = "intersects"
                                           keep_distance=keep_distance,
                                           assume_left_points=assume_left_points)
 
+    import os as _os
     if assume_left_points and (
             (expand == 0.0 and not keep_distance
              and predicate in ("within", "intersects", "covered_by"))
-            or predicate == "dwithin"):
+            or predicate == "dwithin") and \
+            _os.environ.get("SGSPARK_DISABLE_JVM_PIP") != "1":
         jvm = _points_vs_polygons_distributed(
             left, right, left_id=left_id, right_id=right_id,
             gridsize=gridsize, predicate=predicate, distance=distance)
