@@ -664,33 +664,47 @@ def _point_poly_dist_sql(E: str, x: str, y: str) -> str:
     aggregate() fallback above that.  Same IEEE operation order as
     point_geom_distance_vectorized."""
     inf = "CAST('Infinity' AS DOUBLE)"
-    terms = []
-    for i in range(1, PIP_UNROLL_EDGES + 1):
-        e = f"element_at({E}, {i})"
-        terms.append(f"(CASE WHEN {i} <= size({E}) "
-                     f"THEN {_dist2_term(e, x, y)} ELSE {inf} END)")
-    unrolled = f"least({', '.join(terms)})"
+
+    def unroll(k):
+        terms = []
+        for i in range(1, k + 1):
+            e = f"element_at({E}, {i})"
+            terms.append(f"(CASE WHEN {i} <= size({E}) "
+                         f"THEN {_dist2_term(e, x, y)} ELSE {inf} END)")
+        return f"least({', '.join(terms)})"
     lam = f"aggregate({E}, {inf}, (acc, e) -> least(acc, {_dist2_term('e', x, y)}))"
-    d2 = (f"(CASE WHEN size({E}) <= {PIP_UNROLL_EDGES} "
-          f"THEN {unrolled} ELSE {lam} END)")
+    d2 = (f"(CASE WHEN size({E}) <= {PIP_UNROLL_SMALL} "
+          f"THEN {unroll(PIP_UNROLL_SMALL)} "
+          f"WHEN size({E}) <= {PIP_UNROLL_EDGES} "
+          f"THEN {unroll(PIP_UNROLL_EDGES)} ELSE {lam} END)")
     return (f"(CASE WHEN {_pip_sql_any(E, x, y)} THEN 0D "
             f"ELSE sqrt({d2}) END)")
 
 
 def _pip_sql_any(E: str, x: str, y: str) -> str:
     """PIP without the rect shortcut (edge arrays present for every row)."""
-    return (f"(CASE WHEN size({E}) <= {PIP_UNROLL_EDGES} "
+    return (f"(CASE WHEN size({E}) <= {PIP_UNROLL_SMALL} "
+            f"THEN {_pip_sql_unrolled(E, x, y, PIP_UNROLL_SMALL)} "
+            f"WHEN size({E}) <= {PIP_UNROLL_EDGES} "
             f"THEN {_pip_sql_unrolled(E, x, y)} "
             f"ELSE {_pip_sql(E, x, y)} END)")
+
+
+PIP_UNROLL_SMALL = 8  # sub-tier: simple shapes pay 8 terms, not 32
 
 
 def _pip_dispatch_sql(E: str, x: str, y: str, isrect: str) -> str:
     """Tiered PIP predicate: rectangles are already decided by the
     upstream closed-bbox filter (axis-aligned rect PIP == bbox test);
-    small polygons take the unrolled codegen expression; the rare complex
-    ones the interpreted lambda form.  CASE branches evaluate lazily, so
-    hot rows never touch the CodegenFallback path."""
+    small polygons take an unrolled codegen expression SIZED IN TIERS
+    (<=8 terms for simple shapes, <=32 for the rest — a fixed 32-term
+    unroll made 6-edge L-shape joins pay 5x the arithmetic they needed);
+    the rare complex ones the interpreted lambda form.  CASE branches
+    evaluate lazily, so hot rows never touch the oversized or fallback
+    paths."""
     return (f"CASE WHEN {isrect} THEN true "
+            f"WHEN size({E}) <= {PIP_UNROLL_SMALL} "
+            f"THEN {_pip_sql_unrolled(E, x, y, PIP_UNROLL_SMALL)} "
             f"WHEN size({E}) <= {PIP_UNROLL_EDGES} "
             f"THEN {_pip_sql_unrolled(E, x, y)} "
             f"ELSE {_pip_sql(E, x, y)} END")

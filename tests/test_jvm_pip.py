@@ -168,3 +168,28 @@ def test_dwithin_three_paths_agree(spark):
                              assume_left_points=True))
     dw = {(a, b): dist for a, b, dist in wider}
     assert dw[(11, 2)] == float(np.sqrt(np.float64(1.0) + np.float64(1.0)))
+
+
+def test_concave_zone_variant_paths_agree(spark, monkeypatch):
+    """SGSPARK_CONCAVE_ZONES=1 bench variant: L-shaped zones through the
+    kernel and the distributed JVM path give identical pair sets."""
+    monkeypatch.setenv("SGSPARK_CONCAVE_ZONES", "1")
+    from sgspark.synth import synth_documents, zones_from_customer
+    from sgspark.io import extract_geometries, wkt_to_wkb_df
+    sf_dir = "/root/testdata/sf0.001"
+    zones = wkt_to_wkb_df(zones_from_customer(spark, sf_dir)).cache()
+    zones.count()
+    docs = synth_documents(spark, 500)
+    geo = extract_geometries(docs).cache()
+    geo.count()
+    pts = geo.where("geom_kind = 'point' AND span_pos = 1")
+    jvm = pair_set(sjoin_pairs(
+        pts, zones, "within", left_id="doc_index", right_id="zone_id",
+        broadcast_right=False, assume_left_points=True))
+    monkeypatch.setenv("SGSPARK_DISABLE_JVM_PIP", "1")
+    kern = pair_set(sjoin_pairs(
+        pts, zones, "within", left_id="doc_index", right_id="zone_id",
+        broadcast_right=False, assume_left_points=True))
+    assert jvm == kern and len(jvm) > 0
+    zones.unpersist()
+    geo.unpersist()
