@@ -584,10 +584,24 @@ def _sjoin_pairs_broadcast(left: DataFrame, right: DataFrame, predicate: str,
     return cand.mapInPandas(kernel, schema=out_schema)
 
 
+def _esz(E: str) -> str:
+    return f"size({E}ax)"
+
+
+def _eacc(E: str, i) -> tuple[str, str, str, str]:
+    """Accessors for edge i (1-based) of the packed PRIMITIVE edge arrays
+    {E}ax/{E}ay/{E}bx/{E}by (array<double> each).  Primitive element_at is
+    a direct word load in codegen — the struct-array form re-extracted a
+    struct per field access and cost ~4x on concave workloads."""
+    return (f"element_at({E}ax, {i})", f"element_at({E}ay, {i})",
+            f"element_at({E}bx, {i})", f"element_at({E}by, {i})")
+
+
 def _pip_sql(E: str, x: str, y: str) -> str:
-    """Ray-cast point-in-polygon as ONE higher-order SQL expression over a
-    packed edge array `E` (array<struct<ax,ay,bx,by:double>>): even-odd
-    crossing count + explicit on-edge test (boundary counts as inside).
+    """Ray-cast point-in-polygon over the packed primitive edge arrays:
+    even-odd crossing count + explicit on-edge test (boundary counts as
+    inside) — the interpreted higher-order form for polygons above the
+    unroll tiers.
 
     BIT-IDENTICAL to pip_pairs_vectorized (geom/predicates.py:178): the
     crossing intercept `(bx-ax)*(y-ay)/(by-ay)+ax`, the on-edge
@@ -596,59 +610,63 @@ def _pip_sql(E: str, x: str, y: str) -> str:
     When the crossing guard is false the two edge ordinates are equal-side
     (by != ay is implied when it is true), so the division never sees 0/0
     on an edge that can pass the AND."""
-    dot = f"(({x} - e.ax) * (e.bx - e.ax) + ({y} - e.ay) * (e.by - e.ay))"
+    ax, ay, bx, by = _eacc(E, "i")
+    dot = f"(({x} - {ax}) * ({bx} - {ax}) + ({y} - {ay}) * ({by} - {ay}))"
+    idx = f"sequence(1, {_esz(E)})"
     return (
-        f"(((size(filter({E}, e -> ((e.ay > {y}) != (e.by > {y})) AND "
-        f"({x} < (e.bx - e.ax) * ({y} - e.ay) / (e.by - e.ay) + e.ax))) % 2)"
+        f"(((size(filter({idx}, i -> (({ay} > {y}) != ({by} > {y})) AND "
+        f"({x} < ({bx} - {ax}) * ({y} - {ay}) / ({by} - {ay}) + {ax}))) % 2)"
         f" = 1)"
-        f" OR exists({E}, e -> "
-        f"((e.bx - e.ax) * ({y} - e.ay) - (e.by - e.ay) * ({x} - e.ax)) = 0D"
+        f" OR exists({idx}, i -> "
+        f"(({bx} - {ax}) * ({y} - {ay}) - ({by} - {ay}) * ({x} - {ax})) = 0D"
         f" AND {dot} >= 0D AND {dot} <= "
-        f"((e.bx - e.ax) * (e.bx - e.ax) + (e.by - e.ay) * (e.by - e.ay))))")
+        f"(({bx} - {ax}) * ({bx} - {ax}) + ({by} - {ay}) * ({by} - {ay}))))")
 
 
-# Unroll bound: polygons with <= this many edges get the whole-stage-codegen
-# PIP expression; larger ones fall back to the interpreted higher-order
-# variant (HigherOrderFunction is CodegenFallback in Spark — ~100x slower
-# per pair, so the unrolled form carries the hot path).
+# Unroll bounds: polygons within a tier get a whole-stage-codegen PIP
+# expression of that size; larger ones fall back to the interpreted
+# higher-order variant (HigherOrderFunction is CodegenFallback in Spark).
 PIP_UNROLL_EDGES = 32
+PIP_UNROLL_SMALL = 8  # sub-tier: simple shapes pay 8 terms, not 32
 
 
 def _pip_sql_unrolled(E: str, x: str, y: str,
                       k: int = PIP_UNROLL_EDGES) -> str:
-    """`_pip_sql` with the edge loop unrolled over element_at(E, 1..k) so
+    """`_pip_sql` with the edge loop unrolled over element_at(.., 1..k) so
     the whole expression compiles in whole-stage codegen (no
-    HigherOrderFunction).  Valid only when size(E) <= k — callers dispatch
+    HigherOrderFunction).  Valid only when size <= k — callers dispatch
     via CASE.  Same IEEE operation order as pip_pairs_vectorized; the
     short-circuit AND keeps the division guarded exactly like the lambda
     form."""
+    sz = _esz(E)
     ins, ons = [], []
     for i in range(1, k + 1):
-        e = f"element_at({E}, {i})"
+        ax, ay, bx, by = _eacc(E, i)
         ins.append(
-            f"(CASE WHEN ({i} <= size({E})) AND "
-            f"(({e}.ay > {y}) != ({e}.by > {y})) AND "
-            f"({x} < ({e}.bx - {e}.ax) * ({y} - {e}.ay) / "
-            f"({e}.by - {e}.ay) + {e}.ax) THEN 1 ELSE 0 END)")
-        dot = (f"(({x} - {e}.ax) * ({e}.bx - {e}.ax) + "
-               f"({y} - {e}.ay) * ({e}.by - {e}.ay))")
+            f"(CASE WHEN ({i} <= {sz}) AND "
+            f"(({ay} > {y}) != ({by} > {y})) AND "
+            f"({x} < ({bx} - {ax}) * ({y} - {ay}) / "
+            f"({by} - {ay}) + {ax}) THEN 1 ELSE 0 END)")
+        dot = (f"(({x} - {ax}) * ({bx} - {ax}) + "
+               f"({y} - {ay}) * ({by} - {ay}))")
         ons.append(
-            f"(({i} <= size({E})) AND "
-            f"((({e}.bx - {e}.ax) * ({y} - {e}.ay) - "
-            f"({e}.by - {e}.ay) * ({x} - {e}.ax)) = 0D) AND "
+            f"(({i} <= {sz}) AND "
+            f"((({bx} - {ax}) * ({y} - {ay}) - "
+            f"({by} - {ay}) * ({x} - {ax})) = 0D) AND "
             f"{dot} >= 0D AND {dot} <= "
-            f"(({e}.bx - {e}.ax) * ({e}.bx - {e}.ax) + "
-            f"({e}.by - {e}.ay) * ({e}.by - {e}.ay)))")
+            f"(({bx} - {ax}) * ({bx} - {ax}) + "
+            f"({by} - {ay}) * ({by} - {ay})))")
     inside = f"((({' + '.join(ins)}) % 2) = 1)"
     return f"({inside} OR ({' OR '.join(ons)}))"
 
 
-def _dist2_term(e: str, x: str, y: str) -> str:
-    """Squared point-to-segment distance for one edge struct `e` —
+def _dist2_term(acc: tuple[str, str, str, str], x: str, y: str) -> str:
+    """Squared point-to-segment distance for one edge (accessor tuple) —
     bit-identical to point_geom_distance_vectorized: t = clip(dot/ll, 0, 1)
     (t = 0 for zero-length edges), d2 = (rx - t*dx)^2 + (ry - t*dy)^2."""
-    dx, dy = f"({e}.bx - {e}.ax)", f"({e}.by - {e}.ay)"
-    rx, ry = f"({x} - {e}.ax)", f"({y} - {e}.ay)"
+    ax, ay, bx, by = acc
+    dx, dy = f"({bx} - {ax})", f"({by} - {ay})"
+    rx, ry = f"({x} - {ax})", f"({y} - {ay})"
     ll = f"({dx} * {dx} + {dy} * {dy})"
     t = (f"(CASE WHEN {ll} > 0D THEN "
          f"least(greatest(({rx} * {dx} + {ry} * {dy}) / {ll}, 0D), 1D) "
@@ -658,24 +676,26 @@ def _dist2_term(e: str, x: str, y: str) -> str:
 
 
 def _point_poly_dist_sql(E: str, x: str, y: str) -> str:
-    """Point-to-polygon distance over a packed edge array: 0 when inside
-    (boundary-inclusive PIP), else sqrt(min squared edge distance).
-    Unrolled (codegen) for <= PIP_UNROLL_EDGES edges; interpreted
-    aggregate() fallback above that.  Same IEEE operation order as
+    """Point-to-polygon distance over the packed edge arrays: 0 when
+    inside (boundary-inclusive PIP), else sqrt(min squared edge distance).
+    Unrolled (codegen) within the tiers; interpreted aggregate() fallback
+    above them.  Same IEEE operation order as
     point_geom_distance_vectorized."""
     inf = "CAST('Infinity' AS DOUBLE)"
+    sz = _esz(E)
 
     def unroll(k):
         terms = []
         for i in range(1, k + 1):
-            e = f"element_at({E}, {i})"
-            terms.append(f"(CASE WHEN {i} <= size({E}) "
-                         f"THEN {_dist2_term(e, x, y)} ELSE {inf} END)")
+            terms.append(f"(CASE WHEN {i} <= {sz} "
+                         f"THEN {_dist2_term(_eacc(E, i), x, y)} "
+                         f"ELSE {inf} END)")
         return f"least({', '.join(terms)})"
-    lam = f"aggregate({E}, {inf}, (acc, e) -> least(acc, {_dist2_term('e', x, y)}))"
-    d2 = (f"(CASE WHEN size({E}) <= {PIP_UNROLL_SMALL} "
+    lam = (f"aggregate(sequence(1, {sz}), {inf}, "
+           f"(acc, i) -> least(acc, {_dist2_term(_eacc(E, 'i'), x, y)}))")
+    d2 = (f"(CASE WHEN {sz} <= {PIP_UNROLL_SMALL} "
           f"THEN {unroll(PIP_UNROLL_SMALL)} "
-          f"WHEN size({E}) <= {PIP_UNROLL_EDGES} "
+          f"WHEN {sz} <= {PIP_UNROLL_EDGES} "
           f"THEN {unroll(PIP_UNROLL_EDGES)} ELSE {lam} END)")
     return (f"(CASE WHEN {_pip_sql_any(E, x, y)} THEN 0D "
             f"ELSE sqrt({d2}) END)")
@@ -683,14 +703,11 @@ def _point_poly_dist_sql(E: str, x: str, y: str) -> str:
 
 def _pip_sql_any(E: str, x: str, y: str) -> str:
     """PIP without the rect shortcut (edge arrays present for every row)."""
-    return (f"(CASE WHEN size({E}) <= {PIP_UNROLL_SMALL} "
+    return (f"(CASE WHEN {_esz(E)} <= {PIP_UNROLL_SMALL} "
             f"THEN {_pip_sql_unrolled(E, x, y, PIP_UNROLL_SMALL)} "
-            f"WHEN size({E}) <= {PIP_UNROLL_EDGES} "
+            f"WHEN {_esz(E)} <= {PIP_UNROLL_EDGES} "
             f"THEN {_pip_sql_unrolled(E, x, y)} "
             f"ELSE {_pip_sql(E, x, y)} END)")
-
-
-PIP_UNROLL_SMALL = 8  # sub-tier: simple shapes pay 8 terms, not 32
 
 
 def _pip_dispatch_sql(E: str, x: str, y: str, isrect: str) -> str:
@@ -703,11 +720,26 @@ def _pip_dispatch_sql(E: str, x: str, y: str, isrect: str) -> str:
     evaluate lazily, so hot rows never touch the oversized or fallback
     paths."""
     return (f"CASE WHEN {isrect} THEN true "
-            f"WHEN size({E}) <= {PIP_UNROLL_SMALL} "
+            f"WHEN {_esz(E)} <= {PIP_UNROLL_SMALL} "
             f"THEN {_pip_sql_unrolled(E, x, y, PIP_UNROLL_SMALL)} "
-            f"WHEN size({E}) <= {PIP_UNROLL_EDGES} "
+            f"WHEN {_esz(E)} <= {PIP_UNROLL_EDGES} "
             f"THEN {_pip_sql_unrolled(E, x, y)} "
             f"ELSE {_pip_sql(E, x, y)} END")
+
+
+def _edge_cols_of(ga, skip_mask) -> tuple[list, list, list, list]:
+    """Per-geometry edge coordinates as FOUR primitive double lists
+    (ax, ay, bx, by) — the packed form the codegen PIP reads with direct
+    word loads.  Geometries flagged in `skip_mask` get empty lists."""
+    eax, eay, ebx, eby = [], [], [], []
+    for i, es in enumerate(_edge_rows_of(ga)):
+        if skip_mask[i] or not es:
+            eax.append([]); eay.append([]); ebx.append([]); eby.append([])
+            continue
+        a, b, c, d = zip(*es)
+        eax.append(list(a)); eay.append(list(b))
+        ebx.append(list(c)); eby.append(list(d))
+    return eax, eay, ebx, eby
 
 
 def _edge_rows_of(ga) -> list[list[tuple]]:
@@ -768,7 +800,8 @@ def _points_vs_polygons_distributed(left: DataFrame, right: DataFrame, *,
 
     pack_schema = (f"__rid {rid_t}, minx double, miny double, maxx double, "
                    "maxy double, __isrect boolean, "
-                   "E array<struct<ax:double,ay:double,bx:double,by:double>>")
+                   "__eax array<double>, __eay array<double>, "
+                   "__ebx array<double>, __eby array<double>")
 
     rect_fast = predicate != "dwithin"  # distance needs edges for ALL rows
 
@@ -785,19 +818,18 @@ def _points_vs_polygons_distributed(left: DataFrame, right: DataFrame, *,
                 columns={right_id: "__rid"})
             out["__isrect"] = is_rect
             # rects carry NO edges: their PIP is the upstream bbox filter,
-            # and the empty array keeps the shuffled cover rows small
-            out["E"] = [
-                [] if is_rect[i] else
-                [{"ax": e[0], "ay": e[1], "bx": e[2], "by": e[3]}
-                 for e in es]
-                for i, es in enumerate(_edge_rows_of(ga))]
+            # and the empty arrays keep the shuffled cover rows small
+            cols = _edge_cols_of(ga, is_rect)
+            for name, vals in zip(("__eax", "__eay", "__ebx", "__eby"),
+                                  cols):
+                out[name] = vals
             yield out
 
     r_pack = right.select(right_id, "geometry", "minx", "miny",
                           "maxx", "maxy") \
         .mapInPandas(pack, schema=pack_schema)
     rc = _cover_cells(r_pack, g, expand=expand, prefix="r_").select(
-        "__rid", "E", "__isrect", "cell_key",
+        "__rid", "__eax", "__eay", "__ebx", "__eby", "__isrect", "cell_key",
         F.col("r_cminx").alias("__rminx"), F.col("r_cminy").alias("__rminy"),
         F.col("r_cmaxx").alias("__rmaxx"), F.col("r_cmaxy").alias("__rmaxy"))
     l = left.select(F.col(left_id), F.col("minx").alias("__x"),
@@ -814,11 +846,12 @@ def _points_vs_polygons_distributed(left: DataFrame, right: DataFrame, *,
                (F.col("__y") <= F.col("__rmaxy")))
     if predicate == "dwithin":
         out = (cand.withColumn("distance", F.expr(
-                   _point_poly_dist_sql("E", "__x", "__y")))
+                   _point_poly_dist_sql("__e", "__x", "__y")))
                .where(F.col("distance") <= float(distance)))
         return out.select(F.col(left_id),
                           F.col("__rid").alias(out_right), "distance")
-    out = cand.where(F.expr(_pip_dispatch_sql("E", "__x", "__y", "__isrect")))
+    out = cand.where(
+        F.expr(_pip_dispatch_sql("__e", "__x", "__y", "__isrect")))
     return out.select(F.col(left_id),
                       F.col("__rid").alias(out_right))
 
@@ -842,13 +875,13 @@ def _points_vs_polygons_jvm(spark, left, rids, ra, rb, *, left_id,
     expand = float(distance or 0.0) if predicate == "dwithin" else 0.0
     if predicate == "dwithin":  # distance needs edges for ALL rows
         r_rect = np.zeros(len(ra), dtype=bool)
-    edge_rows = [[] if r_rect[i] else es
-                 for i, es in enumerate(_edge_rows_of(ra))]
+    eax, eay, ebx, eby = _edge_cols_of(ra, r_rect)
     rid_list = rids.tolist() if hasattr(rids, "tolist") else list(rids)
     edges_df = spark.createDataFrame(
-        list(zip(rid_list, [bool(b) for b in r_rect], edge_rows)),
+        list(zip(rid_list, [bool(b) for b in r_rect], eax, eay, ebx, eby)),
         schema=(f"{out_right} {rid_t}, __isrect boolean, "
-                "E array<struct<ax:double,ay:double,bx:double,by:double>>"))
+                "__eax array<double>, __eay array<double>, "
+                "__ebx array<double>, __eby array<double>"))
 
     ncells = ((np.floor((rb[:, 2] + expand + FALSE_EASTING) / g)
                - np.floor((rb[:, 0] - expand + FALSE_EASTING) / g) + 1)
@@ -893,11 +926,11 @@ def _points_vs_polygons_jvm(spark, left, rids, ra, rb, *, left_id,
     withe = cand.join(F.broadcast(edges_df), out_right)
     if predicate == "dwithin":
         out = (withe.withColumn("distance", F.expr(
-                   _point_poly_dist_sql("E", "__x", "__y")))
+                   _point_poly_dist_sql("__e", "__x", "__y")))
                .where(F.col("distance") <= float(distance)))
         return out.select(left_id, out_right, "distance")
     out = withe.where(
-        F.expr(_pip_dispatch_sql("E", "__x", "__y", "__isrect")))
+        F.expr(_pip_dispatch_sql("__e", "__x", "__y", "__isrect")))
     return out.select(left_id, out_right)
 
 
