@@ -35,11 +35,15 @@ def wkb_gtype_col(geometry: str = "geometry") -> Column:
     )
 
 
-def make_all_singlepart(df: DataFrame, geometry: str = "geometry"
-                        ) -> DataFrame:
+def make_all_singlepart(df: DataFrame, geometry: str = "geometry",
+                        index_parts: bool = False,
+                        ignore_index: bool = False) -> DataFrame:
     """Make all geometries single part (reference `make_all_singlepart`,
     geometry_types.py:12-36: explode until nothing multi remains —
-    GeometryCollections explode recursively)."""
+    GeometryCollections explode recursively).  `index_parts` /
+    `ignore_index` are accepted for drop-in signature compatibility;
+    DataFrames carry no pandas index, so both are no-ops beyond the
+    explode itself."""
     from .dissolve import explode_parts
     return explode_parts(df, geometry)
 

@@ -283,32 +283,57 @@ def get_route(edges: DataFrame, origins: DataFrame, destinations: DataFrame,
     (oid, did, seq, source, target, cost) with seq = 1-based position from
     the origin; unreachable pairs produce no rows.
 
-    Distributed backtrack: all od pairs walk their predecessor chains
-    simultaneously, one join per round (rounds = longest path in hops)."""
+    Distributed backtrack with JUMP CHAINS (round 4): the predecessor
+    forest is first folded into per-node chains of up to 2^3 = 8
+    predecessors (3 doubling self-joins, V bounded rows), then all od
+    pairs walk 8 edges per round — rounds = ceil(path hops / 8) + 3
+    instead of one join per hop."""
     if dist is None:
         dist = shortest_paths(edges, origins, weight=weight,
                               directed=directed, max_iter=max_iter)
     pred = dist.select("oid", F.col("u").alias("cur"), "pred", "cost")
     pred = pred.localCheckpoint()
+    # jump-chain table: (oid, cur, chain=[pred, pred^2, ...] up to 8,
+    # last=chain[-1]); a chain ends early where the predecessor forest
+    # reaches the origin (that node is absent from J, ending the walk)
+    J = pred.where(F.col("pred").isNotNull()).select(
+        "oid", "cur", F.array("pred").alias("chain"),
+        F.col("pred").alias("last")).localCheckpoint()
+    for _ in range(3):
+        a, b = J.alias("a"), J.alias("b")
+        J = (a.join(b, (F.col("a.oid") == F.col("b.oid")) &
+                    (F.col("a.last") == F.col("b.cur")), "left")
+             .select(F.col("a.oid").alias("oid"),
+                     F.col("a.cur").alias("cur"),
+                     F.when(F.col("b.chain").isNull(), F.col("a.chain"))
+                     .otherwise(F.concat(F.col("a.chain"), F.col("b.chain")))
+                     .alias("chain"),
+                     F.coalesce(F.col("b.last"), F.col("a.last"))
+                     .alias("last")))
+        J = J.localCheckpoint()
     frontier = (destinations.select("did", F.col("node").alias("cur"))
                 .crossJoin(origins.select("oid").distinct())
-                .join(pred, ["oid", "cur"], "inner")
-                .select("oid", "did", "cur", "pred",
-                        F.col("cost").alias("total")))
+                .join(pred.select("oid", "cur"), ["oid", "cur"], "inner")
+                .select("oid", "did", "cur", F.lit(0).alias("pos")))
     pieces = []
-    depth = 0
-    while depth < max_iter * 4:
-        step = frontier.where(F.col("pred").isNotNull())
+    rounds = 0
+    while rounds < max_iter:
+        step = frontier.join(J, ["oid", "cur"], "inner")
         step = step.localCheckpoint()
         if step.isEmpty():
             break
-        pieces.append(step.select(
-            "oid", "did", F.col("pred").alias("source"),
-            F.col("cur").alias("target"), F.lit(depth).alias("__back")))
-        frontier = (step.select("oid", "did", F.col("pred").alias("cur"))
-                    .join(pred, ["oid", "cur"], "inner")
-                    .select("oid", "did", "cur", "pred", F.lit(0.0).alias("total")))
-        depth += 1
+        ex = step.select(
+            "oid", "did", "cur", "chain", "pos",
+            F.posexplode("chain").alias("__i", "source"))
+        pieces.append(ex.select(
+            "oid", "did", "source",
+            F.when(F.col("__i") == 0, F.col("cur"))
+            .otherwise(F.expr("chain[__i - 1]")).alias("target"),
+            (F.col("pos") + F.col("__i")).alias("__back")))
+        frontier = step.select(
+            "oid", "did", F.col("last").alias("cur"),
+            (F.col("pos") + F.size("chain")).alias("pos"))
+        rounds += 1
     if not pieces:
         return (origins.select("oid").crossJoin(destinations.select("did"))
                 .withColumn("seq", F.lit(None).cast("long"))
