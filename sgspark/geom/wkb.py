@@ -351,12 +351,16 @@ def from_wkt(strs) -> GeomArray:
 # re-encoding.
 # ---------------------------------------------------------------------- #
 def wkb_gtype(blob: bytes) -> int:
-    """Geometry type code (1..7) from a WKB header; 1 for None/empty."""
+    """Geometry type code (1..7) from a WKB header; 1 for None/empty.
+
+    Masks EWKB dimension/SRID flag bits (0xE0000000) then normalizes ISO
+    3D/M codes with % 1000 — same decode as the JVM-side
+    ``wkb_gtype_col`` twin (geometry_types.py)."""
     if blob is None or len(blob) < 5:
         return 1
     bo = "<" if blob[0] == 1 else ">"
     (g,) = struct.unpack_from(bo + "I", blob, 1)
-    return g % 1000
+    return (g & 0x1FFFFFFF) % 1000
 
 
 def _end_of_geom(buf: memoryview, off: int) -> int:

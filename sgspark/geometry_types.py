@@ -23,15 +23,23 @@ _FAMILY_CODES = {"polygon": (3, 6), "line": (2, 5), "point": (1, 4)}
 
 
 def wkb_gtype_col(geometry: str = "geometry") -> Column:
-    """WKB geometry-type code (1..7) as a codegen Column: byte-order marker
-    selects which header byte is the low byte of the uint32 type field.
-    Plain ISO codes only (the engine writes nothing else)."""
+    """WKB geometry-type code (1..7) as a codegen Column.
+
+    Decodes the FULL uint32 type field (byte-order marker selects byte
+    order), masks EWKB dimension/SRID flag bits (0xE0000000) and
+    normalizes ISO 3D/M codes with ``pmod(.., 1000)`` — matching the
+    Python twin ``wkb_gtype`` — so ISO 1003 (PolygonZ) classifies as 3,
+    not as its low byte 235, and EWKB-flagged inputs classify by base
+    type instead of garbage."""
     g = geometry
+    le = (f"conv(concat(hex(substring({g},5,1)), hex(substring({g},4,1)), "
+          f"hex(substring({g},3,1)), hex(substring({g},2,1))), 16, 10)")
+    be = f"conv(hex(substring({g},2,4)), 16, 10)"
+    raw = (f"cast((CASE WHEN hex(substring({g},1,1)) = '01' THEN {le} "
+           f"ELSE {be} END) AS bigint)")
     return F.expr(
         f"CASE WHEN {g} IS NULL OR length({g}) < 5 THEN 1 "
-        f"WHEN hex(substring({g}, 1, 1)) = '01' "
-        f"THEN cast(conv(hex(substring({g}, 2, 1)), 16, 10) AS int) "
-        f"ELSE cast(conv(hex(substring({g}, 5, 1)), 16, 10) AS int) END"
+        f"ELSE cast(pmod(({raw} & 536870911), 1000) AS int) END"
     )
 
 

@@ -788,7 +788,10 @@ def _points_vs_polygons_distributed(left: DataFrame, right: DataFrame, *,
     else:
         from .geometry_types import wkb_gtype_col
         type_ok = wkb_gtype_col("geometry").isin(3, 6)
-    bad = right.where(~type_ok |
+    # null-safe: a NULL geom_kind must count as "not ok" (three-valued
+    # logic would otherwise let it slip past ~type_ok into the edge-pack
+    # path); coalesce forces NULL -> kernel fallback.
+    bad = right.where(~F.coalesce(type_ok, F.lit(False)) |
                       F.expr(f"{ncells_sql} > {MAX_COVER_CELLS}")).head(1)
     if bad:
         return None  # mixed types or country-sized rights: kernel path

@@ -108,8 +108,12 @@ def _min_plus_shortcuts(e: DataFrame, max_rows: int
         n2, improved = int(stats["n"]), int(stats["imp"] or 0)
         if improved == 0:
             return T, hops, doublings  # closure reached
-        if n2 > max_rows and doublings > 0:
-            return T, hops, doublings  # budget: keep the smaller relation
+        if n2 > max_rows:
+            # budget: keep the smaller pre-doubling relation — even on the
+            # FIRST doubling, or the over-budget T2 would get self-joined
+            # once more (a potentially quadratic join the budget exists to
+            # prevent).
+            return T, hops, doublings
         T = T2.drop("__old")
         n_prev = n2
         hops *= 2
@@ -136,7 +140,8 @@ def shortest_paths(edges: DataFrame, origins: DataFrame, *,
 
       1. min-plus doubling shortcuts (`_min_plus_shortcuts`): O(log
          diameter) self-joins build T = min cost over paths of <= k hops,
-         k doubling until closure or a row budget (default max(8|E|, 2M));
+         k doubling until closure or a row budget (default max(16|E|,
+         8192));
       2. Bellman-Ford over T: converges in ceil(diameter_hops / k)
          rounds — 1 round when T reached closure;
       3. ONE exact predecessor round over the ORIGINAL edges with the
