@@ -617,9 +617,15 @@ def q_ann_ivf(spark, sf_dir):
 
 
 def q_embedding_near_dups(spark, sf_dir):
+    """Gates the SCALE path (VERDICT r4 #3): SRP-bucketed candidates with
+    the same recall-1.0 parameterization argument as q_ann_lsh (sim>=0.35
+    -> per-bit collision p = 1 - acos(0.35)/pi ~ 0.61; 32 tables x 2 bits
+    -> per-pair miss prob ~3e-7), then exact quantized verify.  The
+    brute-force path stays the pytest oracle (test_textops_vecops)."""
     from sgspark.vecops import embedding_near_dups
     vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return embedding_near_dups(vecs, 0.35)
+    return embedding_near_dups(vecs, 0.35, exact=False,
+                               n_bits=2, n_tables=32)
 
 
 def q_events_hourly(spark, sf_dir):

@@ -80,10 +80,39 @@ def _srp_bucket_expr(vec_col: str, n_bits: int, dim: int,
     return " + ".join(bits)
 
 
+def _salted_bucket_pairs(bucketed: DataFrame, *, symmetric: bool,
+                         max_bucket: int = 10_000) -> DataFrame:
+    """Skew-safe self-join of (a, bucket) rows on bucket — the simhash
+    salting pattern (textops.py simhash_near_dups): a popular bucket (near-
+    duplicate embedding clusters are exactly the workload) would otherwise
+    make the self-join quadratic in ONE task.  Buckets above `max_bucket`
+    are salted — probe keys on hash(id) % S, build replicates each row S
+    times (S = ceil(bucket/max_bucket)) — every join task sees at most
+    ~max_bucket build rows per key while the pair set is byte-identical.
+
+    Returns distinct (a, b): a != b when `symmetric` (directional, for
+    per-a top-k), a < b otherwise (unordered near-dup pairs)."""
+    counts = bucketed.groupBy("bucket").agg(F.count("*").alias("_bn"))
+    nsalt = F.greatest(
+        F.lit(1), F.ceil(F.col("_bn") / F.lit(max_bucket))).cast("int")
+    keyed = bucketed.join(counts, "bucket").withColumn("_s", nsalt)
+    probe = keyed.select(
+        "a", "bucket",
+        F.pmod(F.xxhash64(F.col("a")), F.col("_s")).cast("int").alias("salt"))
+    build = keyed.select(
+        F.col("a").alias("b"), "bucket",
+        F.explode(F.sequence(F.lit(0), F.col("_s") - 1)).alias("salt"))
+    cond = (F.col("a") != F.col("b")) if symmetric else \
+        (F.col("a") < F.col("b"))
+    return (probe.join(build, ["bucket", "salt"]).where(cond)
+            .select("a", "b").distinct())
+
+
 def embedding_near_dups(vecs: DataFrame, threshold: float = 0.95, *,
                         id_col: str = "vec_id", vec_col: str = "embedding",
                         exact: bool = True, n_bits: int = 8,
-                        n_tables: int = 2) -> DataFrame:
+                        n_tables: int = 2,
+                        max_bucket: int = 10_000) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (a, b, sim) with
     sim >= threshold, a < b.  `exact=True` verifies ALL pairs (broadcast
     cross — the oracle-matched baseline); `exact=False` restricts to SRP
@@ -106,9 +135,8 @@ def embedding_near_dups(vecs: DataFrame, threshold: float = 0.95, *,
         bucketed = tables[0]
         for t in tables[1:]:
             bucketed = bucketed.unionByName(t)
-        ids = (bucketed.join(bucketed.select(F.col("a").alias("b"),
-                                             "bucket"), "bucket")
-               .where(F.col("a") < F.col("b")).select("a", "b").distinct())
+        ids = _salted_bucket_pairs(bucketed, symmetric=False,
+                                   max_bucket=max_bucket)
         cand = ids.join(a, "a") \
                   .join(a.select(F.col("a").alias("b"),
                                  F.col("q_a").alias("q_b"),
@@ -233,7 +261,8 @@ def cosine_topk_ivf(vecs: DataFrame, k: int, *, id_col: str = "vec_id",
 
 def cosine_topk_lsh(vecs: DataFrame, k: int, *, id_col: str = "vec_id",
                     vec_col: str = "embedding", n_bits: int = 8,
-                    n_tables: int = 2) -> DataFrame:
+                    n_tables: int = 2,
+                    max_bucket: int = 10_000) -> DataFrame:
     """Approximate top-k: candidates restricted to vectors sharing an SRP
     bucket in any of `n_tables` tables, then exact quantized cosine.
     The scale path: bucket join instead of cross join."""
@@ -250,10 +279,8 @@ def cosine_topk_lsh(vecs: DataFrame, k: int, *, id_col: str = "vec_id",
     bucketed = tables[0]
     for t in tables[1:]:
         bucketed = bucketed.unionByName(t)
-    ids = (bucketed.join(bucketed.select(F.col("a").alias("b"), "bucket"),
-                         "bucket")
-           .where(F.col("a") != F.col("b"))
-           .select("a", "b").distinct())
+    ids = _salted_bucket_pairs(bucketed, symmetric=True,
+                               max_bucket=max_bucket)
     cand = ids.join(q, "a") \
               .join(q.select(F.col("a").alias("b"), F.col("q_a").alias("q_b"),
                              F.col("n_a").alias("n_b")), "b")
