@@ -66,6 +66,9 @@ def run_checkpointed(spark: SparkSession, inp: DataFrame,
     call (0 = everything was already done).  `max_buckets` limits work for
     kill/resume testing.
     """
+    from pyspark.sql import Observation
+    from pyspark.storagelevel import StorageLevel
+
     inp = inp.withColumn(BUCKET_COL,
                          F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)))
     man = read_manifest(spark, path)
@@ -74,33 +77,45 @@ def run_checkpointed(spark: SparkSession, inp: DataFrame,
         for r in man.where(F.col("job_id") == job_id).collect():
             done[int(r["bucket"])] = r["input_fingerprint"]
 
-    # per-bucket input fingerprint (count + key checksum) — the lineage link
-    fps = {int(r[BUCKET_COL]): f"n={r['n']},chk={r['chk']}"
-           for r in inp.groupBy(BUCKET_COL)
-           .agg(F.count("*").alias("n"),
-                F.expr(f"bit_xor(xxhash64(`{key_col}`))").alias("chk")).collect()}
+    # SINGLE input scan (VERDICT r4 #4): the bucketed input is persisted
+    # once; the fingerprint aggregate materializes it, and every per-bucket
+    # job below reads the persisted blocks instead of rescanning the
+    # source.  rows_in comes from this same pass (the fingerprint already
+    # counts per bucket) and rows_out from an Observation on the write —
+    # no per-bucket count() and no re-read of the bucket's own output.
+    inp = inp.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        stats = {int(r[BUCKET_COL]): (int(r["n"]), int(r["chk"]))
+                 for r in inp.groupBy(BUCKET_COL)
+                 .agg(F.count("*").alias("n"),
+                      F.expr(f"bit_xor(xxhash64(`{key_col}`))").alias("chk"))
+                 .collect()}
 
-    executed = 0
-    for b in range(n_buckets):
-        fp = fps.get(b, "n=0,chk=0")
-        if done.get(b) == fp:
-            continue
-        if max_buckets is not None and executed >= max_buckets:
-            break
-        t0 = time.time()
-        part = inp.where(F.col(BUCKET_COL) == b).drop(BUCKET_COL)
-        rows_in = part.count()
-        out = transform(part)
-        out_path = os.path.join(_data_path(path), f"bucket={b}")
-        out.write.mode("overwrite").parquet(out_path)
-        rows_out = spark.read.parquet(out_path).count()
-        _append_manifest(spark, path, {
-            "job_id": job_id, "bucket": b, "rows_in": rows_in,
-            "rows_out": rows_out, "wall_sec": round(time.time() - t0, 3),
-            "input_fingerprint": fp, "finished_at": time.time(),
-        })
-        executed += 1
-    return executed
+        executed = 0
+        for b in range(n_buckets):
+            rows_in, chk = stats.get(b, (0, 0))
+            fp = f"n={rows_in},chk={chk}"
+            if done.get(b) == fp:
+                continue
+            if max_buckets is not None and executed >= max_buckets:
+                break
+            t0 = time.time()
+            part = inp.where(F.col(BUCKET_COL) == b).drop(BUCKET_COL)
+            obs = Observation()
+            out = transform(part).observe(
+                obs, F.count(F.lit(1)).alias("rows_out"))
+            out_path = os.path.join(_data_path(path), f"bucket={b}")
+            out.write.mode("overwrite").parquet(out_path)
+            rows_out = int(obs.get["rows_out"])
+            _append_manifest(spark, path, {
+                "job_id": job_id, "bucket": b, "rows_in": rows_in,
+                "rows_out": rows_out, "wall_sec": round(time.time() - t0, 3),
+                "input_fingerprint": fp, "finished_at": time.time(),
+            })
+            executed += 1
+        return executed
+    finally:
+        inp.unpersist()
 
 
 def read_result(spark: SparkSession, path: str) -> DataFrame:
