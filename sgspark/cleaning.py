@@ -85,6 +85,60 @@ def _with_area(df: DataFrame, id_col: str) -> DataFrame:
         kernel, schema=f"{id_col} {id_t}, __area double")
 
 
+def split_and_eliminate_by_longest(df: DataFrame, to_eliminate: DataFrame,
+                                   tolerance: float, *, id_col: str,
+                                   gridsize: float = 2000.0) -> DataFrame:
+    """Split slivers along neighbor borders, then eliminate (reference
+    `split_and_eliminate_by_longest`, cleaning.py:530-591):
+
+      1. split each sliver by its keeper-neighbors' extended boundary
+         segments (split_by_neighbors), so one sliver straddling two
+         keepers separates into per-keeper pieces;
+      2. dedup overlapping split parts smallest-first (the reference's
+         sort_small_first -> update_geometries);
+      3. eliminate the pieces into the keeper sharing the longest border;
+      4. whatever sliver surface the split pieces missed (difference of
+         the originals vs the merged layer, dissolved by cluster) gets one
+         more eliminate pass.
+
+    Sliver ids are re-minted in the negative space internally, so the
+    caller's `to_eliminate` ids need not be disjoint from `df`'s; split
+    parts carry no sliver attributes (they are absorbed surfaces).
+    Isolated leftovers (touching no keeper) are kept with negative ids,
+    like the reference's leftover handling."""
+    from .dissolve import dissexp_by_cluster
+    from .overlay import clean_overlay
+    from .polygon_ops import split_by_neighbors
+
+    neg_id = -(F.abs(F.xxhash64("geometry")) + F.lit(1))
+    slivers = with_bounds(
+        to_eliminate.drop("minx", "miny", "maxx", "maxy")
+        .withColumn(id_col, neg_id)).localCheckpoint()
+
+    splitted = split_by_neighbors(slivers, df, id_col=id_col,
+                                  neighbor_id=id_col, tolerance=tolerance,
+                                  gridsize=gridsize)
+    splitted = with_bounds(splitted.withColumn(id_col, neg_id))
+    ranked = splitted.join(_with_area(splitted, id_col), id_col) \
+        .withColumn("__rank", F.struct(F.col("__area").alias("a"),
+                                       F.col(id_col).alias("tid"))) \
+        .drop("__area")
+    deduped = with_bounds(
+        update_geometries(ranked, id_col=id_col, rank_col="__rank",
+                          gridsize=gridsize).drop("__rank")).localCheckpoint()
+    merged = eliminate_by_longest(df, deduped, id_col=id_col,
+                                  gridsize=gridsize)
+    merged = with_bounds(merged.where(F.col(id_col) >= 0)).localCheckpoint()
+
+    missing = clean_overlay(slivers, merged, how="difference",
+                            id1=id_col, id2=id_col, gridsize=gridsize)
+    missing = dissexp_by_cluster(with_bounds(missing), id_col=id_col,
+                                 gridsize=gridsize)
+    missing = with_bounds(missing.withColumn(id_col, neg_id))
+    return eliminate_by_longest(merged, missing, id_col=id_col,
+                                gridsize=gridsize)
+
+
 def coverage_clean(df: DataFrame, tolerance: float, *, id_col: str,
                    gridsize: float = 2000.0) -> DataFrame:
     """Returns the cleaned layer (id_col + attributes + geometry, bbox

@@ -107,6 +107,9 @@ def diss(df: DataFrame, by: list[str] | None = None, *,
     attrs = work.groupBy(*key_cols).agg(*aggs) if aggs else \
         work.select(*key_cols).distinct()
 
+    from .conf import get_runner
+    union_runner = get_runner("union_runner", _union_group_wkb)
+
     geo_in = work.select(*key_cols, geometry)
     key_schema = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}"
@@ -125,7 +128,7 @@ def diss(df: DataFrame, by: list[str] | None = None, *,
             for key, sub in pdf.groupby(key_cols, dropna=False, sort=False):
                 key = key if isinstance(key, tuple) else (key,)
                 blobs = sub[geometry].tolist()
-                wkb = blobs[0] if len(blobs) == 1 else _union_group_wkb(blobs)
+                wkb = blobs[0] if len(blobs) == 1 else union_runner(blobs)
                 rows.append((*key, wkb))
             yield pd.DataFrame(rows, columns=key_cols + ["geometry"])
 
@@ -133,7 +136,7 @@ def diss(df: DataFrame, by: list[str] | None = None, *,
 
     def union_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
         blobs = pdf[geometry].tolist()
-        wkb = blobs[0] if len(blobs) == 1 else _union_group_wkb(blobs)
+        wkb = blobs[0] if len(blobs) == 1 else union_runner(blobs)
         row = {k: [v] for k, v in zip(key_cols, key)}
         row["geometry"] = [wkb]
         return pd.DataFrame(row)
@@ -216,3 +219,46 @@ def dissexp_by_cluster(df: DataFrame, by: list[str] | None = None, *,
     group = ["cluster"] + list(by or [])
     out = dissexp(labeled, group, **kw)
     return out.drop("cluster")
+
+
+def diss_by_cluster(df: DataFrame, by: list[str] | None = None, *,
+                    id_col: str, gridsize: float = 2000.0, **kw) -> DataFrame:
+    """`diss_by_cluster` (reference buffer_dissolve_explode.py:386-410):
+    like `dissexp_by_cluster` but WITHOUT the final explode — overlapping
+    geometries dissolve into (multi)polygons per [cluster (+by)] group,
+    with the same bounded-union-group scale property.  The cluster label
+    is internal and dropped from the output."""
+    from .clusters import get_polygon_clusters
+    labeled = get_polygon_clusters(df, id_col=id_col, gridsize=gridsize)
+    group = ["cluster"] + list(by or [])
+    out = diss(labeled, group, **kw)
+    return out.drop("cluster")
+
+
+def buffdissexp_by_cluster(df: DataFrame, distance: float,
+                           by: list[str] | None = None, *,
+                           quad_segs: int = 30, id_col: str,
+                           gridsize: float = 2000.0, **kw) -> DataFrame:
+    """buffer + dissexp_by_cluster (reference
+    buffer_dissolve_explode.py:482-520) — the reference's recommended
+    dissolve for big layers: buffered geometries cluster by actual
+    overlap, so no union group ever exceeds one connected component."""
+    return dissexp_by_cluster(buff(df, distance, quad_segs=quad_segs), by,
+                              id_col=id_col, gridsize=gridsize, **kw)
+
+
+def clean_dissexp(df: DataFrame, dissolve_func=None, *,
+                  precision: float = 1e-3, **kw) -> DataFrame:
+    """Dissolve tiny slivers away (reference `clean_dissexp`,
+    polygon_operations.py:993-1050, marked Experimental there and its test
+    skipped): expand by `precision`, dissolve, shrink back by `precision`,
+    drop emptied rows, explode.  The reference's final snap-back of
+    original vertices (a sub-PRECISION cosmetic pass) is omitted — the
+    expand/shrink here uses the exact erosion kernel, so surviving
+    geometry is within `precision` of the input already."""
+    dissolve_func = dissolve_func or dissexp
+    grown = buff(df, float(precision), quad_segs=1)
+    dissolved = dissolve_func(grown, **kw)
+    shrunk = buff(dissolved, -float(precision), quad_segs=1)
+    # explode_parts drops rows whose erosion emptied them (0 parts)
+    return explode_parts(shrunk)

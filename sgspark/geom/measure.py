@@ -190,3 +190,32 @@ def parts_max_inradius(parts: list[list[np.ndarray]], pitch: float) -> float:
             d = np.minimum(d, dist_to_ring(PX[inside], PY[inside], h))
         best = max(best, float(d.max()))
     return best
+
+
+def dp_simplify(chain: np.ndarray, tol: float) -> np.ndarray:
+    """Douglas–Peucker on one open/closed chain (iterative stack)."""
+    n = len(chain)
+    if n <= 2:
+        return chain
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[n - 1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j <= i + 1:
+            continue
+        a, b = chain[i], chain[j]
+        d = b - a
+        ln = np.hypot(*d)
+        seg = chain[i + 1:j]
+        if ln == 0:
+            dist = np.hypot(*(seg - a).T)
+        else:
+            dist = np.abs(d[0] * (seg[:, 1] - a[1])
+                          - d[1] * (seg[:, 0] - a[0])) / ln
+        k = int(np.argmax(dist))
+        if dist[k] > tol:
+            keep[i + 1 + k] = True
+            stack.append((i, i + 1 + k))
+            stack.append((i + 1 + k, j))
+    return chain[keep]

@@ -289,29 +289,62 @@ def _ring_segments(ring: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return ring[:-1], ring[1:]
 
 
+# Radius-perturbation ladder: exact radius first, then bidirectional
+# nudges escalating from 3e-9 to 3e-5 RELATIVE (boundary error <= 3e-5*r,
+# orders below any tolerance the engine is used at).  Bidirectional
+# because knife-edge inputs (offset edge length exactly 0, e.g. eroding a
+# chamfered corner by the chamfer size) are degenerate on one side of the
+# exact radius but clean on both neighbors.
+_LADDER = (0.0, 3e-9, -3e-9, 1e-6, -1e-6, 3e-5, -3e-5)
+
+
+def _cleanup_rungs(ring: np.ndarray, r: float):
+    """Fallback inputs for the perturbation ladders: the ring itself, then
+    Douglas-Peucker cleanups at sub-radius tolerances (|r|/100, |r|/10).
+    Micro-notches left by boolean unions of near-tangent rings (depth <<
+    r) defeat the exact offset trace; removing them moves the boundary by
+    at most the tolerance — far below the requested offset — and only
+    engages after every exact attempt failed."""
+    yield ring
+    from .measure import dp_simplify
+    # rotate the start vertex to the point farthest from the centroid (a
+    # true extreme corner D-P keeps anyway) — D-P pins chain endpoints, so
+    # a ring that happens to START at a micro-notch could never lose it
+    op = ring[:-1]
+    c = op.mean(axis=0)
+    k = int(np.argmax(((op - c) ** 2).sum(axis=1)))
+    rot = np.roll(op, -k, axis=0)
+    closed = np.vstack([rot, rot[:1]])
+    for tol in (abs(r) * 1e-2, abs(r) * 1e-1):
+        s = dp_simplify(closed, tol)
+        if len(s) >= 4:
+            yield ensure_ccw(ensure_closed(s))
+
+
 def dilate_ring(ring: np.ndarray, r: float, quad_segs: int = 30
                 ) -> list[np.ndarray]:
     """Positive buffer of one simple closed ring (any convexity).  Returns
     loops: CCW exteriors + CW holes the buffer sealed off."""
     ring = ensure_ccw(ensure_closed(np.asarray(ring, dtype=np.float64)))
-    a, b = _ring_segments(ring)
-    for attempt in range(5):
-        r_eff = r * (1.0 + attempt * 3e-9)
-        try:
-            pts, thr = _raw_offset(ring, r_eff, quad_segs, +1.0)
+    for rng in _cleanup_rungs(ring, r):
+        a, b = _ring_segments(rng)
+        for bump in _LADDER:
+            r_eff = r * (1.0 + bump)
+            try:
+                pts, thr = _raw_offset(rng, r_eff, quad_segs, +1.0)
 
-            def keep_fn(mids, th):
-                d = _pts_to_segments_dist(mids, a, b)
-                inside = _pts_in_ring(mids, ring)
-                return (d >= r_eff * th * (1 - 1e-9)) & ~inside
+                def keep_fn(mids, th):
+                    d = _pts_to_segments_dist(mids, a, b)
+                    inside = _pts_in_ring(mids, rng)
+                    return (d >= r_eff * th * (1 - 1e-9)) & ~inside
 
-            loops = _trim_and_trace(pts, thr, r_eff, keep_fn)
-            tot = sum(ring_area(l) for l in loops)
-            if tot < abs(ring_area(ring)) - 1e-9:
-                raise OffsetDegenerate("dilation lost area")
-            return loops
-        except OffsetDegenerate:
-            continue
+                loops = _trim_and_trace(pts, thr, r_eff, keep_fn)
+                tot = sum(ring_area(l) for l in loops)
+                if tot < abs(ring_area(rng)) - 1e-9:
+                    raise OffsetDegenerate("dilation lost area")
+                return loops
+            except OffsetDegenerate:
+                continue
     raise RuntimeError("buffer failed after radius-perturbation ladder")
 
 
@@ -321,25 +354,26 @@ def erode_ring(ring: np.ndarray, r: float, quad_segs: int = 30
     CCW pieces (possibly several — erosion splits); empty list if the ring
     is thinner than 2r everywhere."""
     ring = ensure_ccw(ensure_closed(np.asarray(ring, dtype=np.float64)))
-    a, b = _ring_segments(ring)
-    for attempt in range(5):
-        r_eff = r * (1.0 + attempt * 3e-9)
-        try:
-            pts, thr = _raw_offset(ring, r_eff, quad_segs, -1.0)
+    for rng in _cleanup_rungs(ring, r):
+        a, b = _ring_segments(rng)
+        for bump in _LADDER:
+            r_eff = r * (1.0 + bump)
+            try:
+                pts, thr = _raw_offset(rng, r_eff, quad_segs, -1.0)
 
-            def keep_fn(mids, th):
-                d = _pts_to_segments_dist(mids, a, b)
-                inside = _pts_in_ring(mids, ring)
-                return (d >= r_eff * th * (1 - 1e-9)) & inside
+                def keep_fn(mids, th):
+                    d = _pts_to_segments_dist(mids, a, b)
+                    inside = _pts_in_ring(mids, rng)
+                    return (d >= r_eff * th * (1 - 1e-9)) & inside
 
-            loops = _trim_and_trace(pts, thr, r_eff, keep_fn)
-            tot = sum(ring_area(l) for l in loops)
-            if tot > abs(ring_area(ring)) + 1e-9:
-                raise OffsetDegenerate("erosion gained area")
-            return loops
-        except OffsetDegenerate:
-            continue
-        # all sub-segments trimmed: polygon thinner than 2r
+                loops = _trim_and_trace(pts, thr, r_eff, keep_fn)
+                tot = sum(ring_area(l) for l in loops)
+                if tot > abs(ring_area(rng)) + 1e-9:
+                    raise OffsetDegenerate("erosion gained area")
+                return loops
+            except OffsetDegenerate:
+                continue
+            # all sub-segments trimmed: polygon thinner than 2r
     raise RuntimeError("erosion failed after radius-perturbation ladder")
 
 
@@ -360,8 +394,8 @@ def dilate_line(line: np.ndarray, r: float, quad_segs: int = 30
         loops.extend(s[::-1] for s in erode_ring(line, r, quad_segs))
         return loops
     a, b = line[:-1], line[1:]
-    for attempt in range(5):
-        r_eff = r * (1.0 + attempt * 3e-9)
+    for bump in _LADDER:
+        r_eff = r * (1.0 + bump)
         try:
             pts, thr = _raw_offset_line(line, r_eff, quad_segs)
 

@@ -75,6 +75,31 @@ def to_single_geom_type(df: DataFrame, geom_type: str,
         list(_FAMILY_CODES[fam])))
 
 
+def get_geom_type(df: DataFrame, geometry: str = "geometry") -> str:
+    """The 3-family geometry type of a layer: "polygon", "line", "point"
+    or "mixed" (reference `get_geom_type`, geometry_types.py:146-186 —
+    NULL/empty rows don't break family purity there either: its family
+    lists include None).  One tiny distinct aggregate (<= 7 rows)."""
+    code = wkb_gtype_col(geometry)
+    # NULL geometries are family-neutral in the reference (None sits in
+    # every family list), so exclude them before the subset checks; the
+    # check order (polygon, line, point) mirrors the reference's.
+    present = {int(r[0]) for r in
+               df.where(F.col(geometry).isNotNull())
+               .select(code.alias("gt")).distinct().collect()}
+    for fam in ("polygon", "line", "point"):
+        if present <= set(_FAMILY_CODES[fam]):
+            return fam
+    return "mixed"
+
+
+def is_single_geom_type(df: DataFrame, geometry: str = "geometry") -> bool:
+    """True when all geometries are one family — multipart and singlepart
+    count as the same type (reference `is_single_geom_type`,
+    geometry_types.py:189-222)."""
+    return get_geom_type(df, geometry) != "mixed"
+
+
 def split_geom_types(df: DataFrame, geometry: str = "geometry"
                      ) -> tuple[DataFrame, ...]:
     """One DataFrame per distinct geometry type present (reference

@@ -311,12 +311,11 @@ def sjoin_pairs(left: DataFrame, right: DataFrame, predicate: str = "intersects"
                                           keep_distance=keep_distance,
                                           assume_left_points=assume_left_points)
 
-    import os as _os
+    from .conf import jvm_pip_enabled
     if assume_left_points and (
             (expand == 0.0 and not keep_distance
              and predicate in ("within", "intersects", "covered_by"))
-            or predicate == "dwithin") and \
-            _os.environ.get("SGSPARK_DISABLE_JVM_PIP") != "1":
+            or predicate == "dwithin") and jvm_pip_enabled():
         jvm = _points_vs_polygons_distributed(
             left, right, left_id=left_id, right_id=right_id,
             gridsize=gridsize, predicate=predicate, distance=distance)
@@ -341,6 +340,8 @@ def sjoin_pairs(left: DataFrame, right: DataFrame, predicate: str = "intersects"
 
     pred = predicate
     dist_cap = distance
+    from .conf import get_runner
+    refine = get_runner("refine_runner", refine_pairs)  # driver-resolved
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # anchor dedup already happened JVM-side (cell_candidate_pairs);
@@ -363,7 +364,7 @@ def sjoin_pairs(left: DataFrame, right: DataFrame, predicate: str = "intersects"
                 if need_dist:
                     out["distance"] = d[ok]
             else:
-                ok = refine_pairs(la, ra, li, ri, pred)
+                ok = refine(la, ra, li, ri, pred)
                 out = pd.DataFrame({left_id: pdf["__lid"].to_numpy()[ok],
                                     out_right: pdf["__rid"].to_numpy()[ok]})
                 if need_dist:

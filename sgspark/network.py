@@ -53,6 +53,97 @@ def make_node_ids(lines: DataFrame, geometry: str = "geometry") -> DataFrame:
     return lines.mapInPandas(kernel, schema=schema)
 
 
+def _endpoint_cols_kernel(lines: DataFrame, geometry: str, wkt: bool
+                          ) -> DataFrame:
+    """Shared endpoint extractor for make_edge_coords_cols /
+    make_edge_wkt_cols: first/last vertex per line in one Arrow pass."""
+    if wkt:
+        extra = ", source_wkt string, target_wkt string"
+    else:
+        extra = ", source_coords array<double>, target_coords array<double>"
+    schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                       for f in lines.schema.fields) + extra
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ga = from_wkb(pdf[geometry].tolist())
+            starts = ga.coords_start_per_geom()
+            ends = starts + ga.coords_count_per_geom() - 1
+            a, b = ga.coords[starts], ga.coords[ends]
+            out = pdf.copy()
+            if wkt:
+                # astype(str) = shortest-roundtrip repr (same encoding the
+                # minted node ids use), so WKT of equal points is equal
+                out["source_wkt"] = ("POINT (" +
+                                     pd.Series(a[:, 0]).astype(str) + " " +
+                                     pd.Series(a[:, 1]).astype(str) +
+                                     ")").to_numpy()
+                out["target_wkt"] = ("POINT (" +
+                                     pd.Series(b[:, 0]).astype(str) + " " +
+                                     pd.Series(b[:, 1]).astype(str) +
+                                     ")").to_numpy()
+            else:
+                out["source_coords"] = list(a)
+                out["target_coords"] = list(b)
+            yield out
+
+    return lines.mapInPandas(kernel, schema=schema)
+
+
+def make_edge_coords_cols(lines: DataFrame,
+                          geometry: str = "geometry") -> DataFrame:
+    """Add `source_coords` / `target_coords` ([x, y] of the first/last
+    vertex) to a line layer (reference `make_edge_coords_cols`,
+    general.py:820-849)."""
+    return _endpoint_cols_kernel(lines, geometry, wkt=False)
+
+
+def make_edge_wkt_cols(lines: DataFrame,
+                       geometry: str = "geometry") -> DataFrame:
+    """Add `source_wkt` / `target_wkt` (POINT WKT of the first/last
+    vertex) to a line layer (reference `make_edge_wkt_cols`,
+    general.py:852-881)."""
+    return _endpoint_cols_kernel(lines, geometry, wkt=True)
+
+
+def close_network_holes_to_deadends(edges: DataFrame, max_distance: float,
+                                    *, hole_col: str = "hole_fill",
+                                    gridsize: float | None = None
+                                    ) -> DataFrame:
+    """Fill gaps between pairs of DEADENDS only (reference
+    `close_network_holes_to_deadends`, closing_network_holes.py:204-276 +
+    `_find_holes_deadends` :384-431): each deadend connects to its single
+    nearest OTHER deadend when the distance is strictly below
+    `max_distance` — one new edge per qualifying deadend, no pair dedup
+    (mutually-nearest deadends yield both directions, as in the
+    reference).  `close_network_holes` is the deadend-to-any-node
+    variant."""
+    deg = (edges.select(F.col("source").alias("node"))
+           .union(edges.select(F.col("target").alias("node")))
+           .groupBy("node").agg(F.count("*").alias("deg")))
+    dead = deg.where("deg = 1").select("node")
+    pts = dead.select(
+        "node",
+        F.expr("cast(split(node, '_')[0] as double)").alias("x"),
+        F.expr("cast(split(node, '_')[1] as double)").alias("y"))
+    from .knn import get_k_nearest_neighbors
+    g = gridsize or max(float(max_distance), 1.0)
+    nn = get_k_nearest_neighbors(pts, pts, 2, left_id="node",
+                                 right_id="node", gridsize=g)
+    new = (nn.where((F.col("k") == 2) &
+                    (F.col("distance") < float(max_distance)))
+           .select(F.col("node").alias("source"),
+                   F.col("neighbor_index").alias("target"),
+                   F.col("distance").alias("length"))
+           .withColumn(hole_col, F.lit(True)))
+    old = edges if hole_col in edges.columns else \
+        edges.withColumn(hole_col, F.lit(False))
+    old = old.withColumn(hole_col, F.coalesce(F.col(hole_col), F.lit(False)))
+    return old.unionByName(new, allowMissingColumns=True)
+
+
 def get_connected_components(edges: DataFrame) -> DataFrame:
     """Component label per node (finding_isolated_networks.py:10-104)."""
     from .clusters import connected_components
@@ -447,6 +538,37 @@ def make_directed_network(edges: DataFrame, *, direction_col: str = "oneway",
         out = out.withColumn(
             "minutes", F.col("length") / F.col(speed_col) * 60.0 / 1000.0)
     return out
+
+
+def make_directed_network_norway(edges: DataFrame,
+                                 dropnegative: bool = True) -> DataFrame:
+    """`make_directed_network` preset for Norwegian road data (reference
+    `make_directed_network_norway`, directednetwork.py:14-86):
+    direction column `oneway` with values ('B', 'FT', 'TF') and
+    per-direction minute columns ('drivetime_fw', 'drivetime_bw').
+    `dropnegative` filters the negative drivetime sentinel rows that
+    would otherwise break graph building."""
+    out = make_directed_network(edges, direction_col="oneway",
+                                direction_vals=("B", "FT", "TF"),
+                                minute_cols=("drivetime_fw",
+                                             "drivetime_bw"))
+    if dropnegative:
+        out = out.where(F.col("minutes") >= 0)
+    return out
+
+
+def split_out_circles(lines: DataFrame, geometry: str = "geometry"
+                      ) -> tuple[DataFrame, DataFrame]:
+    """Split closed lines (rings: first vertex == last vertex, i.e. empty
+    boundary) out of a line layer (reference `split_out_circles`,
+    general.py:986-992).  Returns (open_lines, circles)."""
+    wc = _endpoint_cols_kernel(lines, geometry, wkt=False)
+    closed = ((F.element_at("source_coords", 1) ==
+               F.element_at("target_coords", 1)) &
+              (F.element_at("source_coords", 2) ==
+               F.element_at("target_coords", 2)))
+    drop = ("source_coords", "target_coords")
+    return (wc.where(~closed).drop(*drop), wc.where(closed).drop(*drop))
 
 
 def close_network_holes(edges: DataFrame, max_distance: float, *,

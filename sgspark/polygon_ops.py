@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from .geom.array import (LINESTRING, POLYGON, from_rings)
 from .geom.clip import ring_area
+from .geom.measure import dp_simplify as _dp_simplify
 from .geom.wkb import from_wkb, to_wkb
 from .joins import sjoin_pairs
 from .overlay import clean_overlay, _difference_rows
@@ -187,35 +188,6 @@ def remove_spikes(df: DataFrame, tolerance: float,
         return blobs, {}
 
     return _map_geoms(df, fn, geometry=geometry)
-
-
-def _dp_simplify(chain: np.ndarray, tol: float) -> np.ndarray:
-    """Douglas–Peucker on one open/closed chain (iterative stack)."""
-    n = len(chain)
-    if n <= 2:
-        return chain
-    keep = np.zeros(n, dtype=bool)
-    keep[0] = keep[n - 1] = True
-    stack = [(0, n - 1)]
-    while stack:
-        i, j = stack.pop()
-        if j <= i + 1:
-            continue
-        a, b = chain[i], chain[j]
-        d = b - a
-        ln = np.hypot(*d)
-        seg = chain[i + 1:j]
-        if ln == 0:
-            dist = np.hypot(*(seg - a).T)
-        else:
-            dist = np.abs(d[0] * (seg[:, 1] - a[1])
-                          - d[1] * (seg[:, 0] - a[0])) / ln
-        k = int(np.argmax(dist))
-        if dist[k] > tol:
-            keep[i + 1 + k] = True
-            stack.append((i, i + 1 + k))
-            stack.append((i + 1 + k, j))
-    return chain[keep]
 
 
 def simplify(df: DataFrame, tolerance: float,

@@ -177,6 +177,237 @@ class TestSingleScanCheckpoint:
         assert acc.value - acc2_before <= n
 
 
+def _poly_df(spark, wkts, ids=None, extra=None):
+    from sgspark.geom.wkb import from_wkt, to_wkb
+    import pandas as pd
+    ga = from_wkt(wkts)
+    b = ga.bounds()
+    pdf = pd.DataFrame({
+        "pid": ids if ids is not None else list(range(len(wkts))),
+        "geometry": [bytearray(w) for w in to_wkb(ga)],
+        "minx": b[:, 0], "miny": b[:, 1], "maxx": b[:, 2], "maxy": b[:, 3]})
+    if extra:
+        for k, v in extra.items():
+            pdf[k] = v
+    return spark.createDataFrame(pdf)
+
+
+class TestByClusterWrappers:
+    WKTS = [  # two overlapping pairs + one isolated square
+        "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))",
+        "POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))",
+        "POLYGON ((10 0, 12 0, 12 2, 10 2, 10 0))",
+        "POLYGON ((11 1, 13 1, 13 3, 11 3, 11 1))",
+        "POLYGON ((20 0, 21 0, 21 1, 20 1, 20 0))",
+    ]
+
+    def _areas(self, df):
+        from sgspark.geom.wkb import from_wkb
+        blobs = [r["geometry"] for r in df.select("geometry").collect()]
+        return sorted(round(float(a), 6) for a in from_wkb(blobs).area())
+
+    def test_diss_by_cluster_equals_diss(self, spark):
+        from sgspark.dissolve import diss, diss_by_cluster, dissexp
+        df = _poly_df(spark, self.WKTS, extra={"cat": ["a"] * 5})
+        by_cluster = diss_by_cluster(df.drop("cat"), id_col="pid",
+                                     gridsize=2.0)
+        plain = dissexp(df.drop("cat"))
+        # per-connected-component areas must match the exploded dissolve
+        assert self._areas(by_cluster) == self._areas(plain)
+        assert "cluster" not in by_cluster.columns
+
+    def test_buffdissexp_by_cluster_equals_buffdissexp(self, spark):
+        from sgspark.dissolve import buffdissexp, buffdissexp_by_cluster
+        df = _poly_df(spark, self.WKTS)
+        a = buffdissexp_by_cluster(df, 0.1, quad_segs=4, id_col="pid",
+                                   gridsize=2.0)
+        b = buffdissexp(df, 0.1, quad_segs=4)
+        assert a.count() == b.count() == 3
+        assert self._areas(a) == pytest.approx(self._areas(b), abs=1e-9)
+
+    def test_clean_dissexp_merges_hairline_gap(self, spark):
+        from sgspark.dissolve import clean_dissexp
+        # two squares separated by a 1e-4 hairline: plain dissexp keeps 2
+        # parts; clean_dissexp's expand/shrink welds them into one
+        wkts = ["POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))",
+                "POLYGON ((1.0001 0, 2 0, 2 1, 1.0001 1, 1.0001 0))"]
+        df = _poly_df(spark, wkts)
+        from sgspark.dissolve import dissexp
+        assert dissexp(df.select("geometry")).count() == 2
+        out = clean_dissexp(df.select("geometry"), precision=1e-3)
+        assert out.count() == 1
+        area = self._areas(out)[0]
+        assert area == pytest.approx(2.0001, abs=5e-3)
+
+
+class TestGeomTypeHelpers:
+    def test_get_geom_type(self, spark):
+        from sgspark.geometry_types import get_geom_type, is_single_geom_type
+        polys = _poly_df(spark, ["POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))",
+                                 "MULTIPOLYGON (((2 0, 3 0, 3 1, 2 1, 2 0)))"])
+        assert get_geom_type(polys) == "polygon"
+        assert is_single_geom_type(polys)
+        lines = _poly_df(spark, ["LINESTRING (0 0, 1 1)"])
+        assert get_geom_type(lines) == "line"
+        pts = _poly_df(spark, ["POINT (0 0)", "MULTIPOINT (1 1, 2 2)"])
+        assert get_geom_type(pts) == "point"
+        mixed = _poly_df(spark, ["POINT (0 0)", "LINESTRING (0 0, 1 1)"])
+        assert get_geom_type(mixed) == "mixed"
+        assert not is_single_geom_type(mixed)
+        # NULL geometries are family-neutral (reference None-in-list)
+        withnull = polys.withColumn(
+            "geometry", F.when(F.col("pid") == 0, F.col("geometry")))
+        assert get_geom_type(withnull) == "polygon"
+
+
+class TestNetworkAdditions:
+    def _lines(self, spark):
+        from sgspark.io import wkt_to_wkb_df
+        import pandas as pd
+        return wkt_to_wkb_df(spark.createDataFrame(pd.DataFrame({
+            "lid": [1, 2, 3],
+            "geometry_wkt": ["LINESTRING (0 0, 100 0)",
+                             "LINESTRING (105 0, 200 0)",
+                             "LINESTRING (0 50, 10 60, 0 50)"]})))
+
+    def test_edge_cols(self, spark):
+        from sgspark.network import make_edge_coords_cols, make_edge_wkt_cols
+        lines = self._lines(spark)
+        cc = {r["lid"]: (r["source_coords"], r["target_coords"])
+              for r in make_edge_coords_cols(lines).collect()}
+        assert cc[1] == ([0.0, 0.0], [100.0, 0.0])
+        assert cc[3][0] == cc[3][1] == [0.0, 50.0]
+        ww = {r["lid"]: (r["source_wkt"], r["target_wkt"])
+              for r in make_edge_wkt_cols(lines).collect()}
+        assert ww[1] == ("POINT (0.0 0.0)", "POINT (100.0 0.0)")
+
+    def test_split_out_circles(self, spark):
+        from sgspark.network import split_out_circles
+        open_l, circles = split_out_circles(self._lines(spark))
+        assert {r["lid"] for r in open_l.collect()} == {1, 2}
+        assert {r["lid"] for r in circles.collect()} == {3}
+
+    def test_close_network_holes_to_deadends(self, spark):
+        from sgspark.network import (close_network_holes_to_deadends,
+                                     make_node_ids)
+        edges = make_node_ids(self._lines(spark).where("lid < 3"))
+        out = close_network_holes_to_deadends(edges, 10.0)
+        fills = out.where("hole_fill").collect()
+        # mutually-nearest deadends -> BOTH directions, like the reference
+        assert len(fills) == 2
+        assert all(r["length"] == pytest.approx(5.0) for r in fills)
+        assert close_network_holes_to_deadends(edges, 5.0) \
+            .where("hole_fill").count() == 0  # strict <
+        assert out.where("NOT hole_fill").count() == 2
+
+    def test_make_directed_network_norway(self, spark):
+        import pandas as pd
+        from sgspark.network import make_directed_network_norway
+        edges = spark.createDataFrame(pd.DataFrame({
+            "source": ["A", "B", "C"], "target": ["B", "C", "A"],
+            "oneway": ["B", "FT", "TF"],
+            "length": [1000.0, 2000.0, 3000.0],
+            "drivetime_fw": [1.2, 2.4, -1.0],
+            "drivetime_bw": [1.2, -1.0, 3.6]}))
+        out = make_directed_network_norway(edges).collect()
+        got = sorted((r["source"], r["target"], r["minutes"]) for r in out)
+        assert got == [("A", "B", 1.2), ("A", "C", 3.6),
+                       ("B", "A", 1.2), ("B", "C", 2.4)]
+
+
+class TestConfigSeam:
+    def test_use_jvm_pip_override(self, spark):
+        from sgspark.conf import config_override
+        from test_jvm_pip import zones_df, points_df, pair_set
+        from sgspark.joins import sjoin_pairs
+        zones, pts = zones_df(spark), points_df(spark)
+        with config_override(use_jvm_pip=True):
+            jvm = pair_set(sjoin_pairs(
+                pts, zones, "within", left_id="pid", right_id="zid",
+                gridsize=7.0, broadcast_right=False,
+                assume_left_points=True))
+        with config_override(use_jvm_pip=False):
+            kern = sjoin_pairs(
+                pts, zones, "within", left_id="pid", right_id="zid",
+                gridsize=7.0, broadcast_right=False,
+                assume_left_points=True)
+            # config forced the Arrow kernel: the refine kernel (named
+            # `kernel`) is in the plan, not just the JVM path's edge pack
+            plan = kern._jdf.queryExecution().executedPlan().toString()
+            assert "kernel(" in plan
+            assert pair_set(kern) == jvm
+
+    def test_refine_runner_override(self, spark):
+        """The configured refine_runner is really what executes: an
+        all-False runner empties the join; an all-True runner returns the
+        full candidate set (superset of the real result)."""
+        import numpy as np
+        from sgspark.conf import config_override
+        from test_jvm_pip import zones_df, points_df, pair_set
+        from sgspark.joins import sjoin_pairs
+
+        def none_pass(la, ra, li, ri, pred):
+            return np.zeros(len(li), dtype=bool)
+
+        def all_pass(la, ra, li, ri, pred):
+            return np.ones(len(li), dtype=bool)
+
+        zones, pts = zones_df(spark), points_df(spark)
+
+        def run():
+            return pair_set(sjoin_pairs(
+                pts, zones, "within", left_id="pid", right_id="zid",
+                gridsize=7.0, broadcast_right=False))
+
+        real = run()
+        with config_override(use_jvm_pip=False, refine_runner=none_pass):
+            assert run() == set()
+        with config_override(use_jvm_pip=False, refine_runner=all_pass):
+            sup = run()
+        assert real <= sup and len(sup) > len(real)
+
+    def test_union_runner_override(self, spark):
+        """The configured union_runner replaces the dissolve union: a
+        first-blob runner makes multi-row groups dissolve to their first
+        geometry's area."""
+        from sgspark.conf import config_override
+        from sgspark.dissolve import diss
+        df = _poly_df(spark, ["POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))",
+                              "POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))"])
+        from sgspark.geom.wkb import from_wkb
+        with config_override(union_runner=lambda blobs: bytes(blobs[0])):
+            out = diss(df.select("geometry")).collect()
+        assert len(out) == 1
+        area = float(from_wkb([out[0]["geometry"]]).area()[0])
+        assert area == pytest.approx(4.0)  # one input square, not union=7
+
+
+class TestSplitAndEliminate:
+    def test_sliver_absorbed_by_longest_border(self, spark):
+        from sgspark.cleaning import split_and_eliminate_by_longest
+        # two keeper squares; one thin sliver strip spanning both along
+        # their shared top edge -> split at the keeper border, each half
+        # absorbed by the square below it
+        keepers = _poly_df(spark, [
+            "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))",
+            "POLYGON ((10 0, 20 0, 20 10, 10 10, 10 0))"])
+        sliver = _poly_df(spark, [
+            "POLYGON ((0 10, 20 10, 20 11, 0 11, 0 10))"], ids=[99])
+        out = split_and_eliminate_by_longest(
+            keepers, sliver, tolerance=1.0, id_col="pid", gridsize=5.0)
+        rows = out.where(F.col("pid") >= 0)
+        assert rows.count() == 2
+        from sgspark.geom.wkb import from_wkb
+        blobs = [r["geometry"] for r in rows.collect()]
+        areas = sorted(float(a) for a in from_wkb(blobs).area())
+        # each keeper gained its 10x1 half of the sliver (split position
+        # carries the extend_lines tolerance -> sub-1e-3 area noise)
+        assert areas == pytest.approx([110.0, 110.0], abs=1e-3)
+        assert sum(areas) == pytest.approx(220.0, abs=1e-4)
+        # nothing left over
+        assert out.where(F.col("pid") < 0).count() == 0
+
+
 class TestShortcutBudgetFirstDoubling:
     def test_first_doubling_over_budget_returns_edges(self, spark):
         """With max_rows below the first-doubling row count, the
