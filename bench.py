@@ -180,6 +180,30 @@ def main():
         od_cost_matrix(edges, orig, dests, max_iter=40) \
             .agg(F.count("*"), F.sum("cost")).collect()
 
+    def control():
+        # FIXED pure-Spark control (VERDICT r4 #7): broadcast hash join +
+        # hash agg over spark.range — zero sgspark code, sized so a quiet
+        # box at 32 cores takes a few seconds.  A contended driver box
+        # inflates control_sec by the same multiplier it inflates every
+        # other query, making a polluted BENCH record machine-detectable
+        # instead of adjudicated after the fact.  Warmed on a DIFFERENT
+        # size (same-size re-collect would reuse shuffle stages).
+        N = 2_000_000_000
+        dim = spark.range(100_000).withColumnRenamed("id", "k") \
+            .withColumn("v", F.xxhash64(F.col("k") * 7))
+
+        def make(n):
+            d = spark.range(n, numPartitions=max(2 * cores, 16)) \
+                .withColumn("k", F.col("id") % 100_000)
+            return d.join(F.broadcast(dim), "k").agg(
+                F.count("*").alias("n"),
+                F.sum(F.hash(F.col("id"), F.col("v")).cast("long")))
+
+        make(N // 10).collect()  # warm, different plan
+        t0 = time.time()
+        make(N).collect()
+        timings["control"] = round(time.time() - t0, 3)
+
     all_queries = {"spatial_pipeline": spatial_pipeline,
                    "gridloop_tiles": gridloop_tiles,
                    "knn": knn,
@@ -195,7 +219,11 @@ def main():
     only = os.environ.get("SPARK_GRAFT_ONLY")
     names = [n.strip() for n in only.split(",")] if only else list(all_queries)
     for n in names:
-        run(n, all_queries[n])
+        if n != "control":
+            run(n, all_queries[n])
+    if not only or "control" in names:
+        control()
+    control_sec = timings.pop("control", None)
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -208,6 +236,11 @@ def main():
         "scale": scale,
         "n_docs": n_docs,
     }
+    if control_sec is not None:
+        # box-contention canary: compare across BENCH_r*.json records —
+        # the workload is fixed, so control_sec ratios expose a contended
+        # driver box (see VERDICT r4 "Performance" adjudication)
+        out["control_sec"] = control_sec
     if "spatial_pipeline" in timings:
         out["throughput_docs_per_sec"] = round(
             n_docs / timings["spatial_pipeline"], 1)
