@@ -467,10 +467,19 @@ def q_coverage_clean(spark, sf_dir):
     Sum of outputs == the 605x605 universe exactly — the partition
     property of coverage cleaning."""
     from sgspark.cleaning import coverage_clean
+    out = coverage_clean(_coverage_fixture(spark, sf_dir), 3.0,
+                         id_col="pid", gridsize=300.0)
+    return _area_rows(out.select("pid", "geometry"),
+                      ["pid"]).orderBy("pid")
+
+
+def _coverage_fixture(spark, sf_dir):
+    """The dirty coverage layer q_coverage_clean cleans (also used by
+    tools/profile_coverage_clean.py): 5x5 tile coverage, 100-wide tiles at
+    pitch 101 (1-unit thin gaps), ENCLOSED by a hole-bearing frame so the
+    gap network is interior, plus one half-offset overlapper creating a
+    double surface."""
     from sgspark.io import wkt_to_wkb_df
-    # 5x5 tile coverage, 100-wide tiles at pitch 101 (1-unit thin gaps),
-    # ENCLOSED by a hole-bearing frame so the gap network is interior, plus
-    # one half-offset overlapper creating a double surface
     nat = spark.read.parquet(f"{sf_dir}/nation.parquet") \
         .select(F.col("n_nationkey").cast("long").alias("k"))
     base = nat.selectExpr(
@@ -487,10 +496,7 @@ def q_coverage_clean(spark, sf_dir):
          (1001, "POLYGON ((50.5 49.5, 150.5 49.5, 150.5 149.5, "
                 "50.5 149.5, 50.5 49.5))")],
         ["pid", "geometry_wkt"])
-    out = coverage_clean(wkt_to_wkb_df(base.unionByName(extra)), 3.0,
-                         id_col="pid", gridsize=300.0)
-    return _area_rows(out.select("pid", "geometry"),
-                      ["pid"]).orderBy("pid")
+    return wkt_to_wkb_df(base.unionByName(extra))
 
 
 # horizontal test lines for the line-clip oracle: half-integer y (no

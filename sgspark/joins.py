@@ -598,11 +598,17 @@ def _eacc(E: str, i) -> tuple[str, str, str, str]:
             f"element_at({E}bx, {i})", f"element_at({E}by, {i})")
 
 
-def _pip_sql(E: str, x: str, y: str) -> str:
+def _pip_sql(E: str, x: str, y: str, base: str = "0") -> str:
     """Ray-cast point-in-polygon over the packed primitive edge arrays:
     even-odd crossing count + explicit on-edge test (boundary counts as
     inside) — the interpreted higher-order form for polygons above the
     unroll tiers.
+
+    `base` is the per-row crossing count of edges the cell-subset pack
+    (round 5) proved are crossed by EVERY +x ray from the candidate's
+    cell (entirely right of the cell, y-range spanning its band) — those
+    edges are not packed, their parity contribution is this constant.
+    Full-array callers pass the literal "0" (folds away).
 
     BIT-IDENTICAL to pip_pairs_vectorized (geom/predicates.py:178): the
     crossing intercept `(bx-ax)*(y-ay)/(by-ay)+ax`, the on-edge
@@ -615,9 +621,9 @@ def _pip_sql(E: str, x: str, y: str) -> str:
     dot = f"(({x} - {ax}) * ({bx} - {ax}) + ({y} - {ay}) * ({by} - {ay}))"
     idx = f"sequence(1, {_esz(E)})"
     return (
-        f"(((size(filter({idx}, i -> (({ay} > {y}) != ({by} > {y})) AND "
-        f"({x} < ({bx} - {ax}) * ({y} - {ay}) / ({by} - {ay}) + {ax}))) % 2)"
-        f" = 1)"
+        f"((((size(filter({idx}, i -> (({ay} > {y}) != ({by} > {y})) AND "
+        f"({x} < ({bx} - {ax}) * ({y} - {ay}) / ({by} - {ay}) + {ax}))) "
+        f"+ {base}) % 2) = 1)"
         f" OR exists({idx}, i -> "
         f"(({bx} - {ax}) * ({y} - {ay}) - ({by} - {ay}) * ({x} - {ax})) = 0D"
         f" AND {dot} >= 0D AND {dot} <= "
@@ -632,7 +638,7 @@ PIP_UNROLL_SMALL = 8  # sub-tier: simple shapes pay 8 terms, not 32
 
 
 def _pip_sql_unrolled(E: str, x: str, y: str,
-                      k: int = PIP_UNROLL_EDGES) -> str:
+                      k: int = PIP_UNROLL_EDGES, base: str = "0") -> str:
     """`_pip_sql` with the edge loop unrolled over element_at(.., 1..k) so
     the whole expression compiles in whole-stage codegen (no
     HigherOrderFunction).  Valid only when size <= k — callers dispatch
@@ -657,7 +663,7 @@ def _pip_sql_unrolled(E: str, x: str, y: str,
             f"{dot} >= 0D AND {dot} <= "
             f"(({bx} - {ax}) * ({bx} - {ax}) + "
             f"({by} - {ay}) * ({by} - {ay})))")
-    inside = f"((({' + '.join(ins)}) % 2) = 1)"
+    inside = f"(((({' + '.join(ins)}) + {base}) % 2) = 1)"
     return f"({inside} OR ({' OR '.join(ons)}))"
 
 
@@ -676,12 +682,18 @@ def _dist2_term(acc: tuple[str, str, str, str], x: str, y: str) -> str:
             f"({ry} - {t} * {dy}) * ({ry} - {t} * {dy}))")
 
 
-def _point_poly_dist_sql(E: str, x: str, y: str) -> str:
+def _point_poly_dist_sql(E: str, x: str, y: str, base: str = "0") -> str:
     """Point-to-polygon distance over the packed edge arrays: 0 when
     inside (boundary-inclusive PIP), else sqrt(min squared edge distance).
     Unrolled (codegen) within the tiers; interpreted aggregate() fallback
     above them.  Same IEEE operation order as
-    point_geom_distance_vectorized."""
+    point_geom_distance_vectorized.
+
+    With cell-subset packs the min runs over the subset only; the pack
+    guarantees every edge within the dwithin expansion of the cell is
+    included, so the min is exact for every pair that can pass the
+    distance cap (an excluded edge is farther than the cap from every
+    point of the cell)."""
     inf = "CAST('Infinity' AS DOUBLE)"
     sz = _esz(E)
 
@@ -698,20 +710,21 @@ def _point_poly_dist_sql(E: str, x: str, y: str) -> str:
           f"THEN {unroll(PIP_UNROLL_SMALL)} "
           f"WHEN {sz} <= {PIP_UNROLL_EDGES} "
           f"THEN {unroll(PIP_UNROLL_EDGES)} ELSE {lam} END)")
-    return (f"(CASE WHEN {_pip_sql_any(E, x, y)} THEN 0D "
+    return (f"(CASE WHEN {_pip_sql_any(E, x, y, base)} THEN 0D "
             f"ELSE sqrt({d2}) END)")
 
 
-def _pip_sql_any(E: str, x: str, y: str) -> str:
+def _pip_sql_any(E: str, x: str, y: str, base: str = "0") -> str:
     """PIP without the rect shortcut (edge arrays present for every row)."""
     return (f"(CASE WHEN {_esz(E)} <= {PIP_UNROLL_SMALL} "
-            f"THEN {_pip_sql_unrolled(E, x, y, PIP_UNROLL_SMALL)} "
+            f"THEN {_pip_sql_unrolled(E, x, y, PIP_UNROLL_SMALL, base)} "
             f"WHEN {_esz(E)} <= {PIP_UNROLL_EDGES} "
-            f"THEN {_pip_sql_unrolled(E, x, y)} "
-            f"ELSE {_pip_sql(E, x, y)} END)")
+            f"THEN {_pip_sql_unrolled(E, x, y, base=base)} "
+            f"ELSE {_pip_sql(E, x, y, base)} END)")
 
 
-def _pip_dispatch_sql(E: str, x: str, y: str, isrect: str) -> str:
+def _pip_dispatch_sql(E: str, x: str, y: str, isrect: str,
+                      base: str = "0") -> str:
     """Tiered PIP predicate: rectangles are already decided by the
     upstream closed-bbox filter (axis-aligned rect PIP == bbox test);
     small polygons take an unrolled codegen expression SIZED IN TIERS
@@ -719,13 +732,15 @@ def _pip_dispatch_sql(E: str, x: str, y: str, isrect: str) -> str:
     unroll made 6-edge L-shape joins pay 5x the arithmetic they needed);
     the rare complex ones the interpreted lambda form.  CASE branches
     evaluate lazily, so hot rows never touch the oversized or fallback
-    paths."""
+    paths.  With the round-5 cell-subset pack, high-vertex polygons land
+    in the codegen tiers too: each cover cell carries only its local
+    edges and a base parity for the far-right remainder."""
     return (f"CASE WHEN {isrect} THEN true "
             f"WHEN {_esz(E)} <= {PIP_UNROLL_SMALL} "
-            f"THEN {_pip_sql_unrolled(E, x, y, PIP_UNROLL_SMALL)} "
+            f"THEN {_pip_sql_unrolled(E, x, y, PIP_UNROLL_SMALL, base)} "
             f"WHEN {_esz(E)} <= {PIP_UNROLL_EDGES} "
-            f"THEN {_pip_sql_unrolled(E, x, y)} "
-            f"ELSE {_pip_sql(E, x, y)} END")
+            f"THEN {_pip_sql_unrolled(E, x, y, base=base)} "
+            f"ELSE {_pip_sql(E, x, y, base)} END")
 
 
 def _edge_cols_of(ga, skip_mask) -> tuple[list, list, list, list]:
@@ -741,6 +756,162 @@ def _edge_cols_of(ga, skip_mask) -> tuple[list, list, list, list]:
         eax.append(list(a)); eay.append(list(b))
         ebx.append(list(c)); eby.append(list(d))
     return eax, eay, ebx, eby
+
+
+_COVER_COLS = ["__rid", "cell_key", "__rminx", "__rminy", "__rmaxx",
+               "__rmaxy", "__isrect", "__base", "__vert", "__eax", "__eay",
+               "__ebx", "__eby"]
+
+_COVER_SCHEMA_TAIL = (", cell_key bigint, "
+                      "__rminx double, __rminy double, "
+                      "__rmaxx double, __rmaxy double, "
+                      "__isrect boolean, __base int, __vert boolean, "
+                      "__eax array<double>, __eay array<double>, "
+                      "__ebx array<double>, __eby array<double>")
+
+
+def _axis_subset(emin_r, emax_r, emin_b, emax_b, cl_r0, cl_r1,
+                 cl_b0, cl_b1, m):
+    """Per-(cell, edge) keep mask + per-cell folded parity for one ray
+    axis: `_r` = ray axis extents, `_b` = band (perpendicular) axis.
+    keep: edges overlapping the cell's band whose ray-axis range is not
+    entirely behind the cell, minus const edges (entirely ahead, spanning
+    the band) whose crossing count folds into the returned base parity."""
+    bov = ((emin_b[None, :] <= cl_b1[:, None] + m) &
+           (emax_b[None, :] >= cl_b0[:, None] - m))
+    ahead_ok = emax_r[None, :] >= cl_r0[:, None] - m
+    const = ((emin_r[None, :] > cl_r1[:, None] + m) &
+             (emin_b[None, :] <= cl_b0[:, None] - m) &
+             (emax_b[None, :] >= cl_b1[:, None] + m))
+    keep = bov & ahead_ok & ~const
+    return keep, (const.sum(axis=1) % 2).astype(np.int32)
+
+
+def _pack_cover_rows(edge_rows, rids, bounds, is_rect, g: float,
+                     expand: float) -> pd.DataFrame:
+    """One row per (right geometry, covering grid cell) with the EDGE
+    SUBSET that suffices to evaluate PIP / distance for any point inside
+    that cell (round 5, VERDICT r4 #1: every polygon right — including
+    10,000-vertex ones — now evaluates in the whole-stage-codegen unroll
+    tiers, because a cell's subset is small even when the polygon isn't).
+
+    Exactness argument (ray = +x from a point (x, y) in cell
+    [cx0, cx1) x [cy0, cy1)):
+      * an edge with max_y < cy0 or min_y > cy1 can never straddle y and
+        never contain the point -> dropped, contributes 0 crossings;
+      * an edge with max_x < cx0 has every intersection x' <= max_x < x
+        -> the crossing test (x < x') is false for it, and the point
+        cannot lie on it -> dropped;
+      * an edge entirely RIGHT of the cell (min_x > cx1) whose y-range
+        spans the whole band (min_y <= cy0 AND max_y >= cy1) is crossed
+        by EVERY such ray (y in [min_y, max_y) and x < cx1 < min_x <= x')
+        -> counted once in the packed `__base` parity constant instead of
+        being shipped;
+      * every other edge is packed and evaluated exactly.
+    Inclusive comparisons with a g*1e-9 margin keep the drop/const
+    classifications strictly conservative under floating-point cell
+    boundaries (misclassified edges are packed and evaluated, never
+    silently skipped).
+
+    For dwithin (`expand` > 0) the subset additionally keeps every edge
+    whose bbox inflated by `expand` touches the cell: an edge within the
+    cap of ANY point of the cell is within the cap of the cell, so the
+    min-distance over the subset equals the true min for every pair that
+    can pass the cap."""
+    from .cells import cell_xy
+    M = np.int64(1 << Y_BITS)
+    e = float(expand)
+    m = g * 1e-9
+    is_rect = np.asarray(is_rect, dtype=bool)
+    bminx, bminy = bounds[:, 0], bounds[:, 1]
+    bmaxx, bmaxy = bounds[:, 2], bounds[:, 3]
+    cx0s, cy0s = cell_xy(bminx - e, bminy - e, g)
+    cx1s, cy1s = cell_xy(bmaxx + e, bmaxy + e, g)
+    chunks: list[pd.DataFrame] = []
+    # BULK path for rows with no edge payload (rects decided by the bbox
+    # filter; empty geometries): one vectorized ragged expansion, no
+    # per-cell Python — square-zone layers never enter the loop below
+    noedge = np.array([is_rect[i] or not edge_rows[i]
+                       for i in range(len(edge_rows))])
+    ne = np.nonzero(noedge)[0]
+    if len(ne):
+        gi, keys = cover_cell_keys(bminx[ne] - e, bminy[ne] - e,
+                                   bmaxx[ne] + e, bmaxy[ne] + e, g,
+                                   max_cells_per_geom=1 << 40)
+        src = ne[gi]
+        empty = [[] for _ in range(len(src))]
+        chunks.append(pd.DataFrame({
+            "__rid": np.asarray(rids)[src], "cell_key": keys,
+            "__rminx": bminx[src] - e, "__rminy": bminy[src] - e,
+            "__rmaxx": bmaxx[src] + e, "__rmaxy": bmaxy[src] + e,
+            "__isrect": is_rect[src],
+            "__base": np.zeros(len(src), dtype=np.int32),
+            "__vert": np.zeros(len(src), dtype=bool),
+            "__eax": empty, "__eay": list(empty), "__ebx": list(empty),
+            "__eby": list(empty)}, columns=_COVER_COLS))
+    rows: list[tuple] = []
+    for i in np.nonzero(~noedge)[0].tolist():
+        cxs = np.repeat(np.arange(cx0s[i], cx1s[i] + 1),
+                        int(cy1s[i] - cy0s[i] + 1))
+        cys = np.tile(np.arange(cy0s[i], cy1s[i] + 1),
+                      int(cx1s[i] - cx0s[i] + 1))
+        keys = cxs * M + cys
+        rb = (float(bminx[i] - e), float(bminy[i] - e),
+              float(bmaxx[i] + e), float(bmaxy[i] + e))
+        es = edge_rows[i]
+        ea = np.asarray(es, dtype=np.float64)        # E x (ax, ay, bx, by)
+        ax, ay, bx, by = ea[:, 0], ea[:, 1], ea[:, 2], ea[:, 3]
+        eminx, emaxx = np.minimum(ax, bx), np.maximum(ax, bx)
+        eminy, emaxy = np.minimum(ay, by), np.maximum(ay, by)
+        clx0 = cxs * g - FALSE_EASTING               # cell rects (C,)
+        cly0 = cys * g
+        clx1, cly1 = clx0 + g, cly0 + g
+        if e > 0:
+            # dwithin: NO base-parity folding and NO const exclusion — a
+            # far-right band-spanning edge can also be the nearest edge
+            # (distance-relevant), so it must be packed and evaluated,
+            # never folded.  Pack parity-relevant ∪ distance-relevant.
+            keep = (((eminy[None, :] <= cly1[:, None] + m) &
+                     (emaxy[None, :] >= cly0[:, None] - m) &
+                     (emaxx[None, :] >= clx0[:, None] - m)) |
+                    ((eminx[None, :] - e <= clx1[:, None] + m) &
+                     (emaxx[None, :] + e >= clx0[:, None] - m) &
+                     (eminy[None, :] - e <= cly1[:, None] + m) &
+                     (emaxy[None, :] + e >= cly0[:, None] - m)))
+            base = np.zeros(len(keys), dtype=np.int32)
+            vert = np.zeros(len(keys), dtype=bool)
+        else:
+            # per-cell RAY ORIENTATION choice: a +x ray sees every edge in
+            # its y-band to the right (bad for long horizontal boundary
+            # arcs), a +y ray every edge in its x-band above.  Pack the
+            # smaller subset; vertical cells store SWAPPED coordinates so
+            # the single horizontal-ray SQL evaluates the vertical ray via
+            # swapped probe coords — parity is exact either way, so the
+            # join result is bit-identical.
+            keep_h, base_h = _axis_subset(eminx, emaxx, eminy, emaxy,
+                                          clx0, clx1, cly0, cly1, m)
+            keep_v, base_v = _axis_subset(eminy, emaxy, eminx, emaxx,
+                                          cly0, cly1, clx0, clx1, m)
+            vert = keep_v.sum(axis=1) < keep_h.sum(axis=1)
+            keep = np.where(vert[:, None], keep_v, keep_h)
+            base = np.where(vert, base_v, base_h).astype(np.int32)
+        for j in range(len(keys)):
+            idx = np.nonzero(keep[j])[0]
+            if vert[j]:
+                exa, eya = ay[idx], ax[idx]
+                exb, eyb = by[idx], bx[idx]
+            else:
+                exa, eya = ax[idx], ay[idx]
+                exb, eyb = bx[idx], by[idx]
+            rows.append((rids[i], int(keys[j]), *rb, False, int(base[j]),
+                         bool(vert[j]), exa.tolist(), eya.tolist(),
+                         exb.tolist(), eyb.tolist()))
+    if rows:
+        chunks.append(pd.DataFrame(rows, columns=_COVER_COLS))
+    if not chunks:
+        return pd.DataFrame(columns=_COVER_COLS)
+    return pd.concat(chunks, ignore_index=True) if len(chunks) > 1 \
+        else chunks[0]
 
 
 def _edge_rows_of(ga) -> list[list[tuple]]:
@@ -802,10 +973,7 @@ def _points_vs_polygons_distributed(left: DataFrame, right: DataFrame, *,
     rid_t = [f.dataType.simpleString() for f in right.schema.fields
              if f.name == right_id][0]
 
-    pack_schema = (f"__rid {rid_t}, minx double, miny double, maxx double, "
-                   "maxy double, __isrect boolean, "
-                   "__eax array<double>, __eay array<double>, "
-                   "__ebx array<double>, __eby array<double>")
+    pack_schema = f"__rid {rid_t}" + _COVER_SCHEMA_TAIL
 
     rect_fast = predicate != "dwithin"  # distance needs edges for ALL rows
 
@@ -818,24 +986,19 @@ def _points_vs_polygons_distributed(left: DataFrame, right: DataFrame, *,
             is_rect, _ = rect_flags(ga)
             if not rect_fast:
                 is_rect = np.zeros(len(ga), dtype=bool)
-            out = pdf[[right_id, "minx", "miny", "maxx", "maxy"]].rename(
-                columns={right_id: "__rid"})
-            out["__isrect"] = is_rect
-            # rects carry NO edges: their PIP is the upstream bbox filter,
-            # and the empty arrays keep the shuffled cover rows small
-            cols = _edge_cols_of(ga, is_rect)
-            for name, vals in zip(("__eax", "__eay", "__ebx", "__eby"),
-                                  cols):
-                out[name] = vals
-            yield out
+            b = pdf[["minx", "miny", "maxx", "maxy"]].to_numpy(
+                dtype=np.float64)
+            # one output row per (right, cover cell) with that cell's edge
+            # SUBSET — high-vertex polygons compile too (VERDICT r4 #1),
+            # and the cell join shuffles local edges instead of replicating
+            # every polygon's full edge array per cover cell
+            yield _pack_cover_rows(_edge_rows_of(ga),
+                                   pdf[right_id].to_numpy(), b,
+                                   is_rect, g, expand)
 
     r_pack = right.select(right_id, "geometry", "minx", "miny",
                           "maxx", "maxy") \
         .mapInPandas(pack, schema=pack_schema)
-    rc = _cover_cells(r_pack, g, expand=expand, prefix="r_").select(
-        "__rid", "__eax", "__eay", "__ebx", "__eby", "__isrect", "cell_key",
-        F.col("r_cminx").alias("__rminx"), F.col("r_cminy").alias("__rminy"),
-        F.col("r_cmaxx").alias("__rmaxx"), F.col("r_cmaxy").alias("__rmaxy"))
     l = left.select(F.col(left_id), F.col("minx").alias("__x"),
                     F.col("miny").alias("__y"))
     l = l.withColumn("cell_key", F.expr(
@@ -843,19 +1006,25 @@ def _points_vs_polygons_distributed(left: DataFrame, right: DataFrame, *,
         f" + cast(floor(__y / {g}) as bigint)"))
     # points cover exactly one cell: no anchor dedup needed (huge-bbox
     # rights were excluded by the probe above — they take the kernel path)
-    cand = l.join(rc, "cell_key") \
+    cand = l.join(r_pack, "cell_key") \
         .where((F.col("__x") >= F.col("__rminx")) &
                (F.col("__x") <= F.col("__rmaxx")) &
                (F.col("__y") >= F.col("__rminy")) &
                (F.col("__y") <= F.col("__rmaxy")))
     if predicate == "dwithin":
         out = (cand.withColumn("distance", F.expr(
-                   _point_poly_dist_sql("__e", "__x", "__y")))
+                   _point_poly_dist_sql("__e", "__x", "__y", "__base")))
                .where(F.col("distance") <= float(distance)))
         return out.select(F.col(left_id),
                           F.col("__rid").alias(out_right), "distance")
+    # vertical-ray cells store swapped edge coords: swap the probe too
+    cand = cand.withColumn(
+        "__px", F.expr("CASE WHEN __vert THEN __y ELSE __x END")) \
+        .withColumn(
+        "__py", F.expr("CASE WHEN __vert THEN __x ELSE __y END"))
     out = cand.where(
-        F.expr(_pip_dispatch_sql("__e", "__x", "__y", "__isrect")))
+        F.expr(_pip_dispatch_sql("__e", "__px", "__py", "__isrect",
+                                 "__base")))
     return out.select(F.col(left_id),
                       F.col("__rid").alias(out_right))
 
@@ -879,13 +1048,8 @@ def _points_vs_polygons_jvm(spark, left, rids, ra, rb, *, left_id,
     expand = float(distance or 0.0) if predicate == "dwithin" else 0.0
     if predicate == "dwithin":  # distance needs edges for ALL rows
         r_rect = np.zeros(len(ra), dtype=bool)
-    eax, eay, ebx, eby = _edge_cols_of(ra, r_rect)
-    rid_list = rids.tolist() if hasattr(rids, "tolist") else list(rids)
-    edges_df = spark.createDataFrame(
-        list(zip(rid_list, [bool(b) for b in r_rect], eax, eay, ebx, eby)),
-        schema=(f"{out_right} {rid_t}, __isrect boolean, "
-                "__eax array<double>, __eay array<double>, "
-                "__ebx array<double>, __eby array<double>"))
+    rids = np.asarray(rids)
+    edge_rows = _edge_rows_of(ra)
 
     ncells = ((np.floor((rb[:, 2] + expand + FALSE_EASTING) / g)
                - np.floor((rb[:, 0] - expand + FALSE_EASTING) / g) + 1)
@@ -893,49 +1057,67 @@ def _points_vs_polygons_jvm(spark, left, rids, ra, rb, *, left_id,
                  - np.floor((rb[:, 1] - expand) / g) + 1)) \
         if len(rb) else np.zeros(0)
     small = ncells <= MAX_COVER_CELLS
-    rb_s, rids_s = rb[small], np.asarray(rids)[small]
-    gi, keys = cover_cell_keys(rb_s[:, 0] - expand, rb_s[:, 1] - expand,
-                               rb_s[:, 2] + expand, rb_s[:, 3] + expand, g)
-    rcells = spark.createDataFrame(_pd.DataFrame({
-        out_right: rids_s[gi] if len(gi) else rids_s[:0],
-        "cell_key": keys,
-        "__rminx": (rb_s[gi, 0] - expand) if len(gi) else np.zeros(0),
-        "__rminy": (rb_s[gi, 1] - expand) if len(gi) else np.zeros(0),
-        "__rmaxx": (rb_s[gi, 2] + expand) if len(gi) else np.zeros(0),
-        "__rmaxy": (rb_s[gi, 3] + expand) if len(gi) else np.zeros(0)}))
+    sm = np.nonzero(small)[0]
+    # small rights: ONE broadcast of per-(right, cover-cell) rows carrying
+    # that cell's edge SUBSET + base parity — same pack as the distributed
+    # path, so high-vertex rights ride the codegen unroll tiers here too
+    rcells = spark.createDataFrame(
+        _pack_cover_rows([edge_rows[i] for i in sm], rids[sm], rb[sm],
+                         r_rect[sm], g, expand),
+        schema=f"__rid {rid_t}" + _COVER_SCHEMA_TAIL)
     l = left.select(F.col(left_id), F.col("minx").alias("__x"),
                     F.col("miny").alias("__y"))
     l = l.withColumn("cell_key", F.expr(
         f"cast(floor((__x + {FALSE_EASTING}) / {g}) as bigint) * {1 << Y_BITS}"
         f" + cast(floor(__y / {g}) as bigint)"))
+    pair_cols = [F.col(left_id), F.col("__rid"), F.col("__x"), F.col("__y"),
+                 F.col("__isrect"), F.col("__base"), F.col("__vert"),
+                 F.col("__eax"), F.col("__eay"),
+                 F.col("__ebx"), F.col("__eby")]
     cand = l.join(F.broadcast(rcells), "cell_key") \
         .where((F.col("__x") >= F.col("__rminx")) &
                (F.col("__x") <= F.col("__rmaxx")) &
                (F.col("__y") >= F.col("__rminy")) &
                (F.col("__y") <= F.col("__rmaxy"))) \
-        .select(left_id, out_right, "__x", "__y")
-    if (~small).any():  # country-sized rights: plain bbox theta-join
-        rb_b, rids_b = rb[~small], np.asarray(rids)[~small]
-        big_df = F.broadcast(spark.createDataFrame(_pd.DataFrame({
-            out_right: rids_b,
-            "__rminx": rb_b[:, 0] - expand, "__rminy": rb_b[:, 1] - expand,
-            "__rmaxx": rb_b[:, 2] + expand, "__rmaxy": rb_b[:, 3] + expand})))
+        .select(*pair_cols)
+    if (~small).any():
+        # country-sized rights: plain bbox theta-join with FULL edge
+        # arrays (no cell to subset by), base parity 0
+        bg = np.nonzero(~small)[0]
+        eax, eay, ebx, eby = _edge_cols_of(ra, r_rect)
+        big_df = F.broadcast(spark.createDataFrame(
+            [(rids[i].item() if hasattr(rids[i], "item") else rids[i],
+              bool(r_rect[i]), 0, False,
+              float(rb[i, 0] - expand), float(rb[i, 1] - expand),
+              float(rb[i, 2] + expand), float(rb[i, 3] + expand),
+              eax[i], eay[i], ebx[i], eby[i]) for i in bg],
+            schema=(f"__rid {rid_t}, __isrect boolean, __base int, "
+                    "__vert boolean, "
+                    "__rminx double, __rminy double, "
+                    "__rmaxx double, __rmaxy double, "
+                    "__eax array<double>, __eay array<double>, "
+                    "__ebx array<double>, __eby array<double>")))
         cand = cand.unionByName(
             l.crossJoin(big_df)
             .where((F.col("__x") >= F.col("__rminx")) &
                    (F.col("__x") <= F.col("__rmaxx")) &
                    (F.col("__y") >= F.col("__rminy")) &
                    (F.col("__y") <= F.col("__rmaxy")))
-            .select(left_id, out_right, "__x", "__y"))
-    withe = cand.join(F.broadcast(edges_df), out_right)
+            .select(*pair_cols))
     if predicate == "dwithin":
-        out = (withe.withColumn("distance", F.expr(
-                   _point_poly_dist_sql("__e", "__x", "__y")))
+        out = (cand.withColumn("distance", F.expr(
+                   _point_poly_dist_sql("__e", "__x", "__y", "__base")))
                .where(F.col("distance") <= float(distance)))
-        return out.select(left_id, out_right, "distance")
-    out = withe.where(
-        F.expr(_pip_dispatch_sql("__e", "__x", "__y", "__isrect")))
-    return out.select(left_id, out_right)
+        return out.select(left_id, F.col("__rid").alias(out_right),
+                          "distance")
+    cand = cand.withColumn(
+        "__px", F.expr("CASE WHEN __vert THEN __y ELSE __x END")) \
+        .withColumn(
+        "__py", F.expr("CASE WHEN __vert THEN __x ELSE __y END"))
+    out = cand.where(
+        F.expr(_pip_dispatch_sql("__e", "__px", "__py", "__isrect",
+                                 "__base")))
+    return out.select(left_id, F.col("__rid").alias(out_right))
 
 
 def _points_vs_rects_jvm(spark, left, rids, rb, predicate, *, left_id,

@@ -230,9 +230,14 @@ def zones_from_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
 
     import os
-    shape_fn = (zone_lshape_wkt
-                if os.environ.get("SGSPARK_CONCAVE_ZONES") == "1"
-                else zone_square_wkt)
+    ngon = int(os.environ.get("SGSPARK_NGON_ZONES", "0"))
+    if ngon:
+        def shape_fn(a, b, c):
+            return zone_ngon_wkt(a, b, c, ngon)
+    elif os.environ.get("SGSPARK_CONCAVE_ZONES") == "1":
+        shape_fn = zone_lshape_wkt
+    else:
+        shape_fn = zone_square_wkt
 
     def gen(batches):
         for pdf in batches:
@@ -272,6 +277,21 @@ def zone_lshape_wkt(cx: float, cy: float, r: float) -> str:
     return (f"POLYGON (({f(x0)} {f(y0)}, {f(x1)} {f(y0)}, {f(x1)} {f(cy)}, "
             f"{f(cx)} {f(cy)}, {f(cx)} {f(y1)}, {f(x0)} {f(y1)}, "
             f"{f(x0)} {f(y0)}))")
+
+
+def zone_ngon_wkt(cx: float, cy: float, r: float, n: int = 64) -> str:
+    """High-vertex star-ngon zone on the (cx, cy, r) footprint: n vertices
+    alternating between radius r and 0.72r — concave (every other vertex
+    reflex) AND far above the 32-edge unroll tier.  Exercises the round-5
+    cell-subset pack in the scaling bench (SGSPARK_NGON_ZONES=n)."""
+    import math
+    pts = []
+    for i in range(n):
+        a = 2 * math.pi * i / n
+        rr = r if i % 2 == 0 else 0.72 * r
+        pts.append(f"{cx + rr * math.cos(a)!r} {cy + rr * math.sin(a)!r}")
+    pts.append(pts[0])
+    return "POLYGON ((" + ", ".join(pts) + "))"
 
 
 def synth_zones(spark: SparkSession, m: int) -> DataFrame:

@@ -170,6 +170,160 @@ def test_dwithin_three_paths_agree(spark):
     assert dw[(11, 2)] == float(np.sqrt(np.float64(1.0) + np.float64(1.0)))
 
 
+def high_vertex_zones_df(spark):
+    """Rights that defeat the unroll tiers without cell subsetting: a
+    200-gon, a concave comb (many reflex teeth), and a holed 100-gon —
+    plus a C-shape whose bbox has cover cells entirely LEFT of the body
+    in their band (exercises the packed __base parity constant)."""
+    comb = "POLYGON ((0 0, 40 0, 40 10, " + ", ".join(
+        f"{40 - 2 * i} {10 if i % 2 == 0 else 2}" for i in range(1, 20)
+    ) + ", 0 10, 0 0))"
+    ngon200 = "POLYGON ((" + ", ".join(
+        f"{60 + 15 * np.cos(2 * np.pi * i / 200)!r} "
+        f"{15 + 15 * np.sin(2 * np.pi * i / 200)!r}"
+        for i in list(range(200)) + [0]) + "))"
+    ring100 = "POLYGON ((" + ", ".join(
+        f"{110 + 14 * np.cos(2 * np.pi * i / 100)!r} "
+        f"{15 + 14 * np.sin(2 * np.pi * i / 100)!r}"
+        for i in list(range(100)) + [0]) + "), (" + ", ".join(
+        f"{110 + 6 * np.cos(2 * np.pi * i / 60)!r} "
+        f"{15 + 6 * np.sin(2 * np.pi * i / 60)!r}"
+        for i in list(range(60)) + [0]) + "))"
+    cshape = ("POLYGON ((170 0, 180 0, 180 30, 150 30, 150 20, "
+              "170 20, 170 0))")  # bbox [150,180]x[0,30]; body right/top
+    ga = from_wkt([comb, ngon200, ring100, cshape])
+    b = ga.bounds()
+    rows = [(i, bytearray(w), float(b[i, 0]), float(b[i, 1]),
+             float(b[i, 2]), float(b[i, 3]))
+            for i, w in enumerate(to_wkb(ga))]
+    return spark.createDataFrame(rows, zones_df(spark).schema)
+
+
+def high_vertex_points_df(spark):
+    rng = np.random.RandomState(11)
+    pts = [(20.0, 5.0), (20.0, 9.5),      # comb body / between teeth
+           (60.0, 15.0), (74.9, 15.0),    # 200-gon center / near rim
+           (110.0, 15.0), (110.0, 25.0),  # ring hole (out) / annulus (in)
+           (155.0, 10.0), (175.0, 10.0),  # C bbox empty notch / C body
+           (155.0, 25.0)]                 # C top bar (in)
+    pts += [(float(x), float(y)) for x, y in
+            np.c_[rng.uniform(-5, 190, 400), rng.uniform(-5, 35, 400)]]
+    pdf = pd.DataFrame(pts, columns=["x", "y"])
+    pdf["pid"] = np.arange(len(pdf))
+    pdf["geometry"] = [bytearray(b) for b in to_wkb(from_wkt(
+        [f"POINT ({r.x!r} {r.y!r})" for r in pdf.itertuples()]))]
+    pdf["minx"] = pdf.x
+    pdf["miny"] = pdf.y
+    pdf["maxx"] = pdf.x
+    pdf["maxy"] = pdf.y
+    return spark.createDataFrame(
+        pdf[["pid", "geometry", "minx", "miny", "maxx", "maxy"]])
+
+
+@pytest.mark.parametrize("gridsize", [4.0, 11.0, 50000.0])
+def test_high_vertex_three_paths_agree(spark, gridsize):
+    """Round 5 (VERDICT r4 #1): >32-edge rights ride the cell-subset pack;
+    pair sets must stay identical across kernel / jvm-dist / jvm-bcast at
+    gridsizes that produce many cover cells per polygon (4.0), a few
+    (11.0), and one (50000.0, where subsetting is a no-op)."""
+    zones = high_vertex_zones_df(spark)
+    pts = high_vertex_points_df(spark)
+    kw = dict(left_id="pid", right_id="zid", gridsize=gridsize)
+    kernel = pair_set(sjoin_pairs(pts, zones, "within",
+                                  broadcast_right=False, **kw))
+    jvm_d = pair_set(sjoin_pairs(pts, zones, "within",
+                                 broadcast_right=False,
+                                 assume_left_points=True, **kw))
+    jvm_b = pair_set(sjoin_pairs(pts, zones, "within",
+                                 assume_left_points=True, **kw))
+    assert kernel == jvm_d == jvm_b and len(kernel) > 0
+    # hand-placed sanity: C-notch point outside, body/top-bar inside
+    assert not any(p == 6 for p, _ in kernel)
+    assert (7, 3) in kernel and (8, 3) in kernel
+    assert (5, 2) in kernel and not any(p == 4 for p, _ in kernel)
+
+
+def test_high_vertex_dwithin_paths_agree(spark):
+    zones = high_vertex_zones_df(spark)
+    pts = high_vertex_points_df(spark)
+
+    def rows(df):
+        return {(r[0], r[1], r[2]) for r in df.collect()}
+
+    kw = dict(left_id="pid", right_id="zid", gridsize=6.0, distance=2.5)
+    kernel = rows(sjoin_pairs(pts, zones, "dwithin",
+                              broadcast_right=False, **kw))
+    jvm_d = rows(sjoin_pairs(pts, zones, "dwithin", broadcast_right=False,
+                             assume_left_points=True, **kw))
+    jvm_b = rows(sjoin_pairs(pts, zones, "dwithin",
+                             assume_left_points=True, **kw))
+    assert kernel == jvm_d == jvm_b and len(kernel) > 0
+
+
+def test_cell_subsets_are_small(spark):
+    """The scale property the pack exists for: a 200-edge polygon's cover
+    cells each carry a SMALL edge subset (codegen tiers), not the full
+    array, and cells left of the body carry base parity instead of
+    edges."""
+    from sgspark.joins import _pack_cover_rows, _edge_rows_of
+    ga = from_wkt([
+        "POLYGON ((" + ", ".join(
+            f"{60 + 15 * np.cos(2 * np.pi * i / 200)!r} "
+            f"{15 + 15 * np.sin(2 * np.pi * i / 200)!r}"
+            for i in list(range(200)) + [0]) + "))"])
+    b = ga.bounds()
+    pdf = _pack_cover_rows(_edge_rows_of(ga), np.array([0]), b,
+                           np.array([False]), 4.0, 0.0)
+    sizes = pdf["__eax"].map(len)
+    # nearly every cell rides the codegen tiers; only bbox CORNER cells
+    # (which hold almost no polygon area, hence few candidates) may
+    # exceed 32 — both ray orientations see a whole arc there
+    assert (sizes > 32).sum() <= 4
+    assert sizes.quantile(0.95) <= 32
+    assert sizes.max() < 200          # never the full array
+    assert len(pdf) > 30              # many cover cells at g=4
+    assert pdf["__vert"].any()        # orientation choice engaged
+    # base-parity folding engages on LONG band-spanning edges — the
+    # C-shape's right wall spans every band, so cells in its bbox notch
+    # carry base=1 instead of far edges
+    gc = from_wkt(["POLYGON ((170 0, 180 0, 180 30, 150 30, 150 20, "
+                   "170 20, 170 0))"])
+    pc = _pack_cover_rows(_edge_rows_of(gc), np.array([0]), gc.bounds(),
+                          np.array([False]), 4.0, 0.0)
+    assert (pc["__base"] > 0).any()
+    # parity sanity vs numpy PIP at each cell center
+    from sgspark.geom.predicates import refine_pairs
+    from sgspark.geom.wkb import from_wkt as fw
+    import sgspark.cells as C
+    M = 1 << C.Y_BITS
+    cx = (pdf["cell_key"] // M).to_numpy()
+    cy = (pdf["cell_key"] % M).to_numpy()
+    centers_x = cx * 4.0 - C.FALSE_EASTING + 2.0
+    centers_y = cy * 4.0 + 2.0
+    pts_ga = fw([f"POINT ({x!r} {y!r})"
+                 for x, y in zip(centers_x, centers_y)])
+    li = np.arange(len(pdf))
+    ri = np.zeros(len(pdf), dtype=np.int64)
+    truth = refine_pairs(pts_ga, ga, li, ri, "within")
+    for j in range(len(pdf)):
+        axs = np.array(pdf["__eax"].iloc[j])
+        ays = np.array(pdf["__eay"].iloc[j])
+        bxs = np.array(pdf["__ebx"].iloc[j])
+        bys = np.array(pdf["__eby"].iloc[j])
+        x, y = centers_x[j], centers_y[j]
+        if pdf["__vert"].iloc[j]:
+            x, y = y, x  # vertical-ray cells pack swapped coordinates
+        if len(axs):
+            cross = ((ays > y) != (bys > y)) & \
+                (x < (bxs - axs) * (y - ays) / np.where(
+                    bys == ays, 1.0, bys - ays) + axs)
+            n = int(cross.sum())
+        else:
+            n = 0
+        inside = ((n + int(pdf["__base"].iloc[j])) % 2) == 1
+        assert inside == bool(truth[j]), j
+
+
 def test_concave_zone_variant_paths_agree(spark, monkeypatch):
     """SGSPARK_CONCAVE_ZONES=1 bench variant: L-shaped zones through the
     kernel and the distributed JVM path give identical pair sets."""
