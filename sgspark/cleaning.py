@@ -169,9 +169,13 @@ def coverage_clean(df: DataFrame, tolerance: float, *, id_col: str,
     thin_gaps = (_thin_flag(gaps, tolerance).where("__thin")
                  .select(id_col, "geometry", "minx", "miny", "maxx", "maxy")
                  .localCheckpoint())
-    filled = eliminate_by_longest(cur, thin_gaps, id_col=id_col,
-                                  gridsize=gridsize)
-    filled = filled.where(F.col(id_col) >= 0).localCheckpoint()
+    if thin_gaps.head(1):  # cheap: thin_gaps is materialized
+        filled = eliminate_by_longest(cur, thin_gaps, id_col=id_col,
+                                      gridsize=gridsize)
+        filled = filled.where(F.col(id_col) >= 0).localCheckpoint()
+    else:
+        # already gap-free: skip the whole eliminate stage (VERDICT r4 #5)
+        filled = cur
 
     # 3. double surfaces: priority = largest area first (reference runs
     # sort_large_first before update_geometries)

@@ -70,7 +70,7 @@ def _parts_to_wkb(parts: list[list[np.ndarray]]) -> bytes | None:
 
 def _pairs_with_geoms(df1, df2, id1, id2, gridsize):
     pairs = sjoin_pairs(df1, df2, "intersects", left_id=id1, right_id=id2,
-                        gridsize=gridsize)
+                        gridsize=gridsize, assume_left_points=False)
     rid = pairs.columns[1]
     g1 = df1.select(F.col(id1), F.col("geometry").alias("__g1"))
     g2 = df2.select(F.col(id2).alias(rid), F.col("geometry").alias("__g2"))
@@ -383,7 +383,7 @@ def _difference_rows(df1, df2, id1, id2, gridsize) -> DataFrame:
     plus untouched df1 rows.  Partner unions are deduped across identical
     partner sets (O8) and the per-left erase is batched (see _erase_rows)."""
     pairs = sjoin_pairs(df1, df2, "intersects", left_id=id1, right_id=id2,
-                        gridsize=gridsize)
+                        gridsize=gridsize, assume_left_points=False)
     rid = pairs.columns[1]
     id1_t = [f.dataType.simpleString() for f in df1.schema.fields
              if f.name == id1][0]
@@ -482,7 +482,7 @@ def update_geometries(df: DataFrame, *, id_col: str, rank_col: str,
     Rank must be an explicit column — Spark has no row order (SURVEY §7.4.2);
     sort_large_first = rank by area desc before calling."""
     pairs = sjoin_pairs(df, df, "intersects", left_id=id_col, right_id=id_col,
-                        gridsize=gridsize)
+                        gridsize=gridsize, assume_left_points=False)
     rid = pairs.columns[1]
     ranks = df.select(F.col(id_col), F.col(rank_col))
     pr = pairs.join(ranks.withColumnRenamed(rank_col, "__lrank"), id_col) \

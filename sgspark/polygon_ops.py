@@ -307,6 +307,7 @@ def polygons_to_lines(dfs: list[DataFrame], *, id_col: str,
     lines = with_bounds(lines).withColumn(
         "__lid", F.xxhash64("geometry", "frame_idx", id_col))
     pairs = sjoin_pairs(lines, lines, "intersects", left_id="__lid",
+                        assume_left_points=False,
                         right_id="__lid", gridsize=gridsize)
     rid = pairs.columns[1]
     # only crossings BETWEEN frames split (reference: union of frames is
@@ -472,7 +473,8 @@ def split_polygons_by_lines(polys: DataFrame, lines: DataFrame, *,
     row per resulting part, polygon attributes preserved."""
     from .geom.clip import clip_ring_convex, ensure_closed
     pairs = sjoin_pairs(polys, lines, "intersects", left_id=id_col,
-                        right_id=line_id, gridsize=gridsize)
+                        right_id=line_id, gridsize=gridsize,
+                        assume_left_points=False)
     rid = pairs.columns[1]
     pg = polys.select(F.col(id_col), F.col("geometry").alias("__pg"))
     lg = lines.select(F.col(line_id).alias(rid),
@@ -554,29 +556,41 @@ def get_gaps(df: DataFrame, *, id_col: str,
     pad = 1.0
     x0, y0, x1, y1 = b[0] - pad, b[1] - pad, b[2] + pad, b[3] + pad
     ring = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])
-    bbox_wkb = to_wkb(from_rings([[[ring]]], [POLYGON]))[0]
-    bbox_df = spark.createDataFrame(
-        pd.DataFrame({"__bid": [0], "geometry": [bbox_wkb],
-                      "minx": [x0], "miny": [y0], "maxx": [x1], "maxy": [y1]}))
-    from .dissolve import diss, explode_parts
-    from .io import with_bounds
-    dissolved = with_bounds(
-        diss(df.select(id_col, "geometry"), None).withColumn(
-            id_col, F.lit(0).cast("long")))
-    diff = _difference_rows(bbox_df, dissolved, "__bid", id_col, gridsize)
-    parts = explode_parts(diff)
+    from .dissolve import diss
+    dissolved = diss(df.select(id_col, "geometry"), None)
 
-    # drop the outer part (touches the padded bbox corner)
-    def fn(ga, pdf):
-        blobs = []
-        bounds = ga.bounds()
-        for g in range(len(ga)):
-            touches_edge = (bounds[g, 0] <= x0 or bounds[g, 1] <= y0 or
-                            bounds[g, 2] >= x1 or bounds[g, 3] >= y1)
-            blobs.append(None if touches_edge else to_wkb(ga.take([g]))[0])
-        return blobs, {}
+    # The dissolved layer is ONE row by construction, so bbox − union is a
+    # 1x1 difference: running the general sjoin/erase machinery for it
+    # cost ~5 shuffle jobs of pure latency (round-5 profile: 4.6s of the
+    # coverage_clean 14s at sf0.1).  Fused instead into ONE Arrow pass:
+    # same polygon_boolean difference call, explode by parts, drop parts
+    # touching the padded bbox edge.
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .geom.clip import polygon_boolean
+        from .overlay import _parts_of, _parts_to_wkb
+        bbox_parts = [[ring]]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            blobs: list[bytes] = []
+            for blob in pdf["geometry"]:
+                da = from_wkb([blob])
+                res = polygon_boolean(bbox_parts, _parts_of(da, 0),
+                                      "difference")
+                for part in res:
+                    ext = part[0]
+                    bx0, by0 = ext.min(axis=0)
+                    bx1, by1 = ext.max(axis=0)
+                    if bx0 <= x0 or by0 <= y0 or bx1 >= x1 or by1 >= y1:
+                        continue  # outer region at the padded bbox edge
+                    wkb = _parts_to_wkb([part])
+                    if wkb is not None:
+                        blobs.append(wkb)
+            if blobs:
+                yield pd.DataFrame({"geometry": blobs})
 
-    return _map_geoms(parts.drop("__bid"), fn)
+    return dissolved.select("geometry").mapInPandas(
+        kernel, schema="geometry binary")
 
 
 def clean_clip(df: DataFrame, mask: DataFrame, *, id_col: str,
@@ -633,7 +647,8 @@ def eliminate_by_largest(df: DataFrame, to_eliminate: DataFrame, *,
     fix_double, polygon_operations.py:763-990)."""
     keep_area = _with_area(df, id_col)
     pairs = sjoin_pairs(to_eliminate, df, "intersects", left_id=id_col,
-                        right_id=id_col, gridsize=gridsize)
+                        right_id=id_col, gridsize=gridsize,
+                        assume_left_points=False)
     sliver_id, keeper_id = pairs.columns[0], pairs.columns[1]
     pr = pairs.join(keep_area.select(F.col(id_col).alias(keeper_id), "__area"),
                     keeper_id)
@@ -708,7 +723,8 @@ def eliminate_by_longest(df: DataFrame, to_eliminate: DataFrame, *,
     segment-overlap kernel, argmax per sliver via window, then the same
     union/attribute plumbing as eliminate_by_largest."""
     pairs = sjoin_pairs(to_eliminate, df, "intersects", left_id=id_col,
-                        right_id=id_col, gridsize=gridsize)
+                        right_id=id_col, gridsize=gridsize,
+                        assume_left_points=False)
     sliver_id, keeper_id = pairs.columns[0], pairs.columns[1]
     sg = to_eliminate.select(F.col(id_col).alias(sliver_id),
                              F.col("geometry").alias("__sg"))
