@@ -765,15 +765,37 @@ def _edge_cols_of(ga, skip_mask) -> tuple[list, list, list, list]:
 
 
 _COVER_COLS = ["__rid", "cell_key", "__rminx", "__rminy", "__rmaxx",
-               "__rmaxy", "__isrect", "__base", "__vert", "__eax", "__eay",
-               "__ebx", "__eby"]
+               "__rmaxy", "__isrect", "__base", "__vert",
+               "__cx0", "__cy0", "__swx", "__swy", "__si", "__sj", "__km1",
+               "__eax", "__eay", "__ebx", "__eby"]
 
 _COVER_SCHEMA_TAIL = (", cell_key bigint, "
                       "__rminx double, __rminy double, "
                       "__rmaxx double, __rmaxy double, "
                       "__isrect boolean, __base int, __vert boolean, "
+                      "__cx0 double, __cy0 double, "
+                      "__swx double, __swy double, "
+                      "__si int, __sj int, __km1 int, "
                       "__eax array<double>, __eay array<double>, "
                       "__ebx array<double>, __eby array<double>")
+
+# join-side subcell assignment: each candidate point lands in exactly ONE
+# (si, sj) of its cell's K x K subdivision of the cell ∩ expanded-bbox
+# region (clipped floor handles closed boundaries AND points outside the
+# region, which the bbox filter kills anyway); K=1 rows pass trivially
+_SUBCELL_FILTER = (
+    "cast(least(greatest(floor((__x - __cx0) / __swx), 0D), "
+    "cast(__km1 as double)) as int) = __si AND "
+    "cast(least(greatest(floor((__y - __cy0) / __swy), 0D), "
+    "cast(__km1 as double)) as int) = __sj")
+
+# subcell subset-size target and subdivision cap: a cell whose edge
+# subset exceeds the 32-term unroll tier splits into K^2 subcells with
+# K = ceil(sqrt(size/8)) (aiming ~8-edge subsets); K doubles until every
+# subcell fits the 32-term tier or the cap — curvature hotspots (circle
+# apexes) concentrate edges, so the initial estimate can undershoot
+_SUBCELL_TARGET = 8
+_SUBCELL_MAX_K = 32
 
 
 def _axis_subset(emin_r, emax_r, emin_b, emax_b, cl_r0, cl_r1,
@@ -791,6 +813,31 @@ def _axis_subset(emin_r, emax_r, emin_b, emax_b, cl_r0, cl_r1,
              (emax_b[None, :] >= cl_b1[:, None] + m))
     keep = bov & ahead_ok & ~const
     return keep, (const.sum(axis=1) % 2).astype(np.int32)
+
+
+def _rect_subsets(ext, rx0, rx1, ry0, ry1, m, e):
+    """Subsets for arbitrary probe rects (cells OR subcells): returns
+    (keep CxE, base C, vert C).  e > 0 = dwithin rule (parity ∪ distance,
+    no folding, no orientation choice — see _pack_cover_rows)."""
+    eminx, emaxx, eminy, emaxy = ext
+    if e > 0:
+        keep = (((eminy[None, :] <= ry1[:, None] + m) &
+                 (emaxy[None, :] >= ry0[:, None] - m) &
+                 (emaxx[None, :] >= rx0[:, None] - m)) |
+                ((eminx[None, :] - e <= rx1[:, None] + m) &
+                 (emaxx[None, :] + e >= rx0[:, None] - m) &
+                 (eminy[None, :] - e <= ry1[:, None] + m) &
+                 (emaxy[None, :] + e >= ry0[:, None] - m)))
+        n = len(rx0)
+        return keep, np.zeros(n, dtype=np.int32), np.zeros(n, dtype=bool)
+    keep_h, base_h = _axis_subset(eminx, emaxx, eminy, emaxy,
+                                  rx0, rx1, ry0, ry1, m)
+    keep_v, base_v = _axis_subset(eminy, emaxy, eminx, emaxx,
+                                  ry0, ry1, rx0, rx1, m)
+    vert = keep_v.sum(axis=1) < keep_h.sum(axis=1)
+    keep = np.where(vert[:, None], keep_v, keep_h)
+    base = np.where(vert, base_v, base_h).astype(np.int32)
+    return keep, base, vert
 
 
 def _pack_cover_rows(edge_rows, rids, bounds, is_rect, g: float,
@@ -846,13 +893,18 @@ def _pack_cover_rows(edge_rows, rids, bounds, is_rect, g: float,
                                    max_cells_per_geom=1 << 40)
         src = ne[gi]
         empty = [[] for _ in range(len(src))]
+        zi = np.zeros(len(src), dtype=np.int32)
         chunks.append(pd.DataFrame({
             "__rid": np.asarray(rids)[src], "cell_key": keys,
             "__rminx": bminx[src] - e, "__rminy": bminy[src] - e,
             "__rmaxx": bmaxx[src] + e, "__rmaxy": bmaxy[src] + e,
             "__isrect": is_rect[src],
-            "__base": np.zeros(len(src), dtype=np.int32),
+            "__base": zi,
             "__vert": np.zeros(len(src), dtype=bool),
+            # km1=0: the clipped-floor subcell filter is trivially 0 = 0
+            "__cx0": np.zeros(len(src)), "__cy0": np.zeros(len(src)),
+            "__swx": np.full(len(src), g), "__swy": np.full(len(src), g),
+            "__si": zi, "__sj": zi, "__km1": zi,
             "__eax": empty, "__eay": list(empty), "__ebx": list(empty),
             "__eby": list(empty)}, columns=_COVER_COLS))
     rows: list[tuple] = []
@@ -867,51 +919,73 @@ def _pack_cover_rows(edge_rows, rids, bounds, is_rect, g: float,
         es = edge_rows[i]
         ea = np.asarray(es, dtype=np.float64)        # E x (ax, ay, bx, by)
         ax, ay, bx, by = ea[:, 0], ea[:, 1], ea[:, 2], ea[:, 3]
-        eminx, emaxx = np.minimum(ax, bx), np.maximum(ax, bx)
-        eminy, emaxy = np.minimum(ay, by), np.maximum(ay, by)
+        ext = (np.minimum(ax, bx), np.maximum(ax, bx),
+               np.minimum(ay, by), np.maximum(ay, by))
         clx0 = cxs * g - FALSE_EASTING               # cell rects (C,)
         cly0 = cys * g
-        clx1, cly1 = clx0 + g, cly0 + g
-        if e > 0:
-            # dwithin: NO base-parity folding and NO const exclusion — a
-            # far-right band-spanning edge can also be the nearest edge
-            # (distance-relevant), so it must be packed and evaluated,
-            # never folded.  Pack parity-relevant ∪ distance-relevant.
-            keep = (((eminy[None, :] <= cly1[:, None] + m) &
-                     (emaxy[None, :] >= cly0[:, None] - m) &
-                     (emaxx[None, :] >= clx0[:, None] - m)) |
-                    ((eminx[None, :] - e <= clx1[:, None] + m) &
-                     (emaxx[None, :] + e >= clx0[:, None] - m) &
-                     (eminy[None, :] - e <= cly1[:, None] + m) &
-                     (emaxy[None, :] + e >= cly0[:, None] - m)))
-            base = np.zeros(len(keys), dtype=np.int32)
-            vert = np.zeros(len(keys), dtype=bool)
-        else:
-            # per-cell RAY ORIENTATION choice: a +x ray sees every edge in
-            # its y-band to the right (bad for long horizontal boundary
-            # arcs), a +y ray every edge in its x-band above.  Pack the
-            # smaller subset; vertical cells store SWAPPED coordinates so
-            # the single horizontal-ray SQL evaluates the vertical ray via
-            # swapped probe coords — parity is exact either way, so the
-            # join result is bit-identical.
-            keep_h, base_h = _axis_subset(eminx, emaxx, eminy, emaxy,
-                                          clx0, clx1, cly0, cly1, m)
-            keep_v, base_v = _axis_subset(eminy, emaxy, eminx, emaxx,
-                                          cly0, cly1, clx0, clx1, m)
-            vert = keep_v.sum(axis=1) < keep_h.sum(axis=1)
-            keep = np.where(vert[:, None], keep_v, keep_h)
-            base = np.where(vert, base_v, base_h).astype(np.int32)
-        for j in range(len(keys)):
-            idx = np.nonzero(keep[j])[0]
-            if vert[j]:
-                exa, eya = ay[idx], ax[idx]
-                exb, eyb = by[idx], bx[idx]
+        # round 1: cell-level subsets (dwithin rule when e > 0: no
+        # base-parity folding — a far-right band-spanning edge can also be
+        # the nearest edge, so it must be evaluated, never folded; e == 0:
+        # per-rect RAY ORIENTATION choice — a +x ray sees every edge in
+        # its y-band ahead, bad for long horizontal boundary arcs; the +y
+        # variant packs swapped coordinates so one SQL form serves both)
+        keep, base, vert = _rect_subsets(ext, clx0, clx0 + g,
+                                         cly0, cly0 + g, m, e)
+        sizes = keep.sum(axis=1)
+
+        def emit(j_key, krow, brow, vrow, cx0v, cy0v, swxv, swyv,
+                 siv, sjv, km1v):
+            idx = np.nonzero(krow)[0]
+            if len(idx) == 0 and brow == 0:
+                return  # no point in this region can match: prune the row
+            if vrow:
+                exa, eya, exb, eyb = ay[idx], ax[idx], by[idx], bx[idx]
             else:
-                exa, eya = ax[idx], ay[idx]
-                exb, eyb = bx[idx], by[idx]
-            rows.append((rids[i], int(keys[j]), *rb, False, int(base[j]),
-                         bool(vert[j]), exa.tolist(), eya.tolist(),
+                exa, eya, exb, eyb = ax[idx], ay[idx], bx[idx], by[idx]
+            rows.append((rids[i], int(j_key), *rb, False, int(brow),
+                         bool(vrow), float(cx0v), float(cy0v),
+                         float(swxv), float(swyv),
+                         int(siv), int(sjv), int(km1v),
+                         exa.tolist(), eya.tolist(),
                          exb.tolist(), eyb.tolist()))
+
+        for j in range(len(keys)):
+            if sizes[j] <= PIP_UNROLL_EDGES:
+                emit(keys[j], keep[j], base[j], vert[j],
+                     0.0, 0.0, g, g, 0, 0, 0)
+                continue
+            # SUBCELL REFINEMENT (round 5): a big-subset cell (polygon
+            # much larger than its edge spacing, or gridsize much larger
+            # than the polygon) splits K x K so every emitted row's
+            # subset rides the codegen unroll tiers.  The subdivision
+            # covers the cell ∩ expanded-bbox region — for a polygon tiny
+            # inside a huge cell, subdividing the CELL would leave the
+            # whole polygon in one subcell.  The join assigns each point
+            # to exactly one subcell via the clipped-floor expression;
+            # pack rects carry a margin so fp drift in that assignment
+            # can only ADD edges, never lose one.  Candidates outside the
+            # region clip to a border subcell and die on the bbox filter.
+            K = min(int(np.ceil(np.sqrt(sizes[j] / _SUBCELL_TARGET))),
+                    _SUBCELL_MAX_K)
+            ux0, uy0 = max(clx0[j], rb[0]), max(cly0[j], rb[1])
+            ux1 = min(clx0[j] + g, rb[2])
+            uy1 = min(cly0[j] + g, rb[3])
+            while True:
+                swx = max((ux1 - ux0) / K, 1e-300)
+                swy = max((uy1 - uy0) / K, 1e-300)
+                sis = np.repeat(np.arange(K), K)
+                sjs = np.tile(np.arange(K), K)
+                rx0 = ux0 + sis * swx
+                ry0 = uy0 + sjs * swy
+                rx1, ry1 = rx0 + swx, ry0 + swy
+                ks, bs, vs = _rect_subsets(ext, rx0, rx1, ry0, ry1, m, e)
+                if (K >= _SUBCELL_MAX_K or
+                        int(ks.sum(axis=1).max()) <= PIP_UNROLL_EDGES):
+                    break
+                K = min(K * 2, _SUBCELL_MAX_K)
+            for t in range(len(rx0)):
+                emit(keys[j], ks[t], bs[t], vs[t],
+                     ux0, uy0, swx, swy, sis[t], sjs[t], K - 1)
     if rows:
         chunks.append(pd.DataFrame(rows, columns=_COVER_COLS))
     if not chunks:
@@ -1016,7 +1090,8 @@ def _points_vs_polygons_distributed(left: DataFrame, right: DataFrame, *,
         .where((F.col("__x") >= F.col("__rminx")) &
                (F.col("__x") <= F.col("__rmaxx")) &
                (F.col("__y") >= F.col("__rminy")) &
-               (F.col("__y") <= F.col("__rmaxy")))
+               (F.col("__y") <= F.col("__rmaxy")) &
+               F.expr(_SUBCELL_FILTER))
     if predicate == "dwithin":
         out = (cand.withColumn("distance", F.expr(
                    _point_poly_dist_sql("__e", "__x", "__y", "__base")))
@@ -1084,7 +1159,8 @@ def _points_vs_polygons_jvm(spark, left, rids, ra, rb, *, left_id,
         .where((F.col("__x") >= F.col("__rminx")) &
                (F.col("__x") <= F.col("__rmaxx")) &
                (F.col("__y") >= F.col("__rminy")) &
-               (F.col("__y") <= F.col("__rmaxy"))) \
+               (F.col("__y") <= F.col("__rmaxy")) &
+               F.expr(_SUBCELL_FILTER)) \
         .select(*pair_cols)
     if (~small).any():
         # country-sized rights: plain bbox theta-join with FULL edge
@@ -1093,12 +1169,15 @@ def _points_vs_polygons_jvm(spark, left, rids, ra, rb, *, left_id,
         eax, eay, ebx, eby = _edge_cols_of(ra, r_rect)
         big_df = F.broadcast(spark.createDataFrame(
             [(rids[i].item() if hasattr(rids[i], "item") else rids[i],
-              bool(r_rect[i]), 0, False,
+              bool(r_rect[i]), 0, False, 0.0, 0.0, float(g), float(g),
+              0, 0, 0,
               float(rb[i, 0] - expand), float(rb[i, 1] - expand),
               float(rb[i, 2] + expand), float(rb[i, 3] + expand),
               eax[i], eay[i], ebx[i], eby[i]) for i in bg],
             schema=(f"__rid {rid_t}, __isrect boolean, __base int, "
-                    "__vert boolean, "
+                    "__vert boolean, __cx0 double, __cy0 double, "
+                    "__swx double, __swy double, "
+                    "__si int, __sj int, __km1 int, "
                     "__rminx double, __rminy double, "
                     "__rmaxx double, __rmaxy double, "
                     "__eax array<double>, __eay array<double>, "

@@ -275,14 +275,19 @@ def test_cell_subsets_are_small(spark):
     pdf = _pack_cover_rows(_edge_rows_of(ga), np.array([0]), b,
                            np.array([False]), 4.0, 0.0)
     sizes = pdf["__eax"].map(len)
-    # nearly every cell rides the codegen tiers; only bbox CORNER cells
-    # (which hold almost no polygon area, hence few candidates) may
-    # exceed 32 — both ray orientations see a whole arc there
-    assert (sizes > 32).sum() <= 4
-    assert sizes.quantile(0.95) <= 32
-    assert sizes.max() < 200          # never the full array
+    # EVERY row rides the codegen tiers: big-subset cells subdivide KxK
+    # (round-5 subcell refinement), so no interpreted fallback remains
+    assert sizes.max() <= 32
     assert len(pdf) > 30              # many cover cells at g=4
     assert pdf["__vert"].any()        # orientation choice engaged
+    assert (pdf["__km1"] > 0).any()   # subdivision engaged somewhere
+    # a polygon FULLY INSIDE one huge cell (coarse gridsize — the shape
+    # of the ngon bench regression) must also compile: subcells shrink
+    # its 200-edge subset below the tier
+    p1 = _pack_cover_rows(_edge_rows_of(ga), np.array([0]), b,
+                          np.array([False]), 50000.0, 0.0)
+    assert p1["__eax"].map(len).max() <= 32
+    assert (p1["__km1"] > 0).all()
     # base-parity folding engages on LONG band-spanning edges — the
     # C-shape's right wall spans every band, so cells in its bbox notch
     # carry base=1 instead of far edges
