@@ -934,7 +934,7 @@ def _pack_cover_rows(edge_rows, rids, bounds, is_rect, g: float,
         sizes = keep.sum(axis=1)
 
         def emit(j_key, krow, brow, vrow, cx0v, cy0v, swxv, swyv,
-                 siv, sjv, km1v):
+                 siv, sjv, km1v, rect=None):
             idx = np.nonzero(krow)[0]
             if len(idx) == 0 and brow == 0:
                 return  # no point in this region can match: prune the row
@@ -942,7 +942,8 @@ def _pack_cover_rows(edge_rows, rids, bounds, is_rect, g: float,
                 exa, eya, exb, eyb = ay[idx], ax[idx], by[idx], bx[idx]
             else:
                 exa, eya, exb, eyb = ax[idx], ay[idx], bx[idx], by[idx]
-            rows.append((rids[i], int(j_key), *rb, False, int(brow),
+            rows.append((rids[i], int(j_key), *(rect or rb), False,
+                         int(brow),
                          bool(vrow), float(cx0v), float(cy0v),
                          float(swxv), float(swyv),
                          int(siv), int(sjv), int(km1v),
@@ -984,8 +985,18 @@ def _pack_cover_rows(edge_rows, rids, bounds, is_rect, g: float,
                     break
                 K = min(K * 2, _SUBCELL_MAX_K)
             for t in range(len(rx0)):
+                # each subcell row carries ITS OWN rect (±m) as the bbox:
+                # with K^2 rows per (zone, cell) sharing one zone bbox, a
+                # candidate inside that bbox would reach the floor filter
+                # on every row — the rect kills the other K^2-1 rows on
+                # the first comparison instead.  The floor assignment
+                # stays decisive (exactly one row per point); widening by
+                # m matches the subset margin, so any point that passes
+                # the rect is covered by the packed edge subset.
                 emit(keys[j], ks[t], bs[t], vs[t],
-                     ux0, uy0, swx, swy, sis[t], sjs[t], K - 1)
+                     ux0, uy0, swx, swy, sis[t], sjs[t], K - 1,
+                     rect=(float(rx0[t] - m), float(ry0[t] - m),
+                           float(rx1[t] + m), float(ry1[t] + m)))
     if rows:
         chunks.append(pd.DataFrame(rows, columns=_COVER_COLS))
     if not chunks:
