@@ -31,11 +31,20 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
+from collections import Counter
+
 from .cells import FALSE_EASTING, Y_BITS, cover_cell_keys
 from .geom.wkb import from_wkb
 from .geom.predicates import geom_pair_distance, refine_pairs
 
 DEFAULT_GRIDSIZE = 2000.0
+
+PATH_STATS: Counter = Counter()
+"""Driver-side refine-path tally (plan-time, one tick per sjoin_pairs
+call, not per row): which refine implementation the call compiled to —
+`jvm_*` = whole-stage-codegen SQL, `kernel_*` = Arrow/numpy mapInPandas.
+tools/path_share.py uses it to measure the Arrow-kernel family's share
+of the bench suite (BENCH/BASELINE.md, round-5 directive 8)."""
 
 
 def _cover_cells(df: DataFrame, gridsize: float, expand: float = 0.0,
@@ -281,7 +290,8 @@ def sjoin_pairs(left: DataFrame, right: DataFrame, predicate: str = "intersects"
                 distance: float | None = None, gridsize: float = DEFAULT_GRIDSIZE,
                 keep_distance: bool = False,
                 broadcast_right: bool | None = None,
-                assume_left_points: bool | None = None) -> DataFrame:
+                assume_left_points: bool | None = None,
+                assume_left_lines: bool | None = None) -> DataFrame:
     """Candidate generation + refine.  Inputs must carry
     (id, geometry WKB, minx, miny, maxx, maxy); ids must be unique.
 
@@ -315,7 +325,8 @@ def sjoin_pairs(left: DataFrame, right: DataFrame, predicate: str = "intersects"
                                           distance=distance,
                                           gridsize=gridsize,
                                           keep_distance=keep_distance,
-                                          assume_left_points=assume_left_points)
+                                          assume_left_points=assume_left_points,
+                                          assume_left_lines=assume_left_lines)
 
     from .conf import jvm_pip_enabled
     if assume_left_points and (
@@ -326,6 +337,7 @@ def sjoin_pairs(left: DataFrame, right: DataFrame, predicate: str = "intersects"
             left, right, left_id=left_id, right_id=right_id,
             gridsize=gridsize, predicate=predicate, distance=distance)
         if jvm is not None:
+            PATH_STATS["jvm_polys_dist"] += 1
             return jvm
 
     l0 = left.select(F.col(left_id).alias("__lid"),
@@ -377,6 +389,7 @@ def sjoin_pairs(left: DataFrame, right: DataFrame, predicate: str = "intersects"
                     out["distance"] = geom_pair_distance(la, ra, li[ok], ri[ok])
             yield out
 
+    PATH_STATS["kernel_dist"] += 1
     return cand.mapInPandas(kernel, schema=out_schema)
 
 
@@ -384,7 +397,8 @@ def _sjoin_pairs_broadcast(left: DataFrame, right: DataFrame, predicate: str,
                            rows: list, *, left_id: str, right_id: str,
                            distance: float | None, gridsize: float,
                            keep_distance: bool,
-                           assume_left_points: bool | None = None
+                           assume_left_points: bool | None = None,
+                           assume_left_lines: bool | None = None
                            ) -> DataFrame:
     """Small-right refine: right geometries (pre-collected under a byte cap
     by the caller) parsed once, broadcast as a GeomArray; candidates carry
@@ -435,17 +449,47 @@ def _sjoin_pairs_broadcast(left: DataFrame, right: DataFrame, predicate: str,
                               and float(ext["ex"] or 0) == 0.0
                               and float(ext["ey"] or 0) == 0.0)
         if left_is_points and rect_ok:
+            PATH_STATS["jvm_rects_bcast"] += 1
             return _points_vs_rects_jvm(
                 spark, left, rids, rb, predicate, left_id=left_id,
                 right_id=right_id, rid_t_source=right, distance=distance,
                 gridsize=gridsize, keep_distance=keep_distance)
         if left_is_points and poly_ok:
+            PATH_STATS["jvm_polys_bcast"] += 1
             rid_t = [f.dataType.simpleString() for f in right.schema.fields
                      if f.name == right_id][0]
             return _points_vs_polygons_jvm(
                 spark, left, rids, ra, rb, left_id=left_id,
                 right_id=right_id, rid_t=rid_t, gridsize=gridsize,
                 predicate=predicate, distance=distance)
+
+    # LINE lefts x polygon/rect rights, plain `intersects`: compiled
+    # segment-crossing/head-PIP path (round 5, directive 8) — hinted via
+    # assume_left_lines, or detected from a uniform geom_kind column
+    from .conf import jvm_pip_enabled
+    lines_ok = (len(ra) > 0 and bool(np.isin(ra.kinds, (3, 6)).all())
+                and predicate == "intersects" and not keep_distance
+                and assume_left_points is not True
+                and assume_left_lines is not False and jvm_pip_enabled())
+    if lines_ok:
+        if assume_left_lines:
+            left_is_lines = True
+        elif "geom_kind" in left.columns:
+            kk = left.agg(F.min("geom_kind").alias("a"),
+                          F.max("geom_kind").alias("b")).first()
+            left_is_lines = kk["a"] == "line" and kk["b"] == "line"
+        else:
+            left_is_lines = False
+        if left_is_lines:
+            PATH_STATS["jvm_segs_bcast"] += 1
+            lid_t = [f.dataType.simpleString() for f in left.schema.fields
+                     if f.name == left_id][0]
+            rid_t = [f.dataType.simpleString() for f in right.schema.fields
+                     if f.name == right_id][0]
+            return _segments_vs_polygons_jvm(
+                spark, left, rids, ra, rb, r_rect, left_id=left_id,
+                right_id=right_id, rid_t=rid_t, lid_t=lid_t,
+                gridsize=gridsize)
 
     bc = spark.sparkContext.broadcast((rid_to_idx, ra))
 
@@ -588,6 +632,7 @@ def _sjoin_pairs_broadcast(left: DataFrame, right: DataFrame, predicate: str,
                     out["distance"] = geom_pair_distance(la, ra_b, li[ok], ri[ok])
             yield out
 
+    PATH_STATS["kernel_bcast"] += 1
     return cand.mapInPandas(kernel, schema=out_schema)
 
 
@@ -762,6 +807,258 @@ def _edge_cols_of(ga, skip_mask) -> tuple[list, list, list, list]:
         eax.append(list(a)); eay.append(list(b))
         ebx.append(list(c)); eby.append(list(d))
     return eax, eay, ebx, eby
+
+
+# ---------------------------------------------------------------------------
+# Compiled segment(line-left) x polygon-right `intersects` (round 5,
+# VERDICT r4 directive 8): the roads/clip_lines family rides the same
+# cover-cell/edge-subset pack as the point path.  A line intersects a
+# polygon iff any of its segments crosses a boundary edge, or the line's
+# first vertex lies inside (connected chains inside without crossing ARE
+# wholly inside; mirrors _geom_geom_intersects, predicates.py:443, which
+# containment-tests only chains[0][:1]).  Each (segment, zone, cell) row
+# evaluates crossings against that cell's edge subset — a real crossing
+# lies in some covered cell whose subset provably contains the crossed
+# edge, and subsets only hold true polygon edges, so no false positives —
+# plus a head-PIP term gated to the row whose region contains the head.
+
+
+def _seg_onseg_sql(px, py, qx, qy, rx, ry) -> str:
+    """Collinear point-on-segment bbox test — mirrors predicates._on_seg:
+    min(px,qx) <= rx <= max(px,qx) and likewise for y."""
+    return (f"(least({px}, {qx}) <= {rx} AND {rx} <= greatest({px}, {qx})"
+            f" AND least({py}, {qy}) <= {ry} AND {ry} <= "
+            f"greatest({py}, {qy}))")
+
+
+def _seg_touch_term(acc, sx, sy, tx, ty) -> str:
+    """Segment (S,T) x edge (A,B) intersection — the exact boolean of
+    predicates._seg_seg_touch with (p1,p2)=(S,T), (p3,p4)=(A,B): proper
+    straddle via orientation signs, else collinear endpoint-touch.  Same
+    `(bx-ax)*(cy-ay)-(by-ay)*(cx-ax)` operation order, so sign decisions
+    agree bit-for-bit with the Arrow kernel (and are invariant under the
+    coordinate swap vert rows store, since swapping exactly negates the
+    cross product)."""
+    ax, ay, bx, by = acc
+
+    def o(a0, a1, b0, b1, c0, c1):
+        return (f"(({b0} - {a0}) * ({c1} - {a1}) - "
+                f"({b1} - {a1}) * ({c0} - {a0}))")
+    d1 = o(ax, ay, bx, by, sx, sy)
+    d2 = o(ax, ay, bx, by, tx, ty)
+    d3 = o(sx, sy, tx, ty, ax, ay)
+    d4 = o(sx, sy, tx, ty, bx, by)
+    return (f"(((({d1} > 0D) != ({d2} > 0D)) AND "
+            f"(({d3} > 0D) != ({d4} > 0D)))"
+            f" OR (({d1} = 0D) AND {_seg_onseg_sql(ax, ay, bx, by, sx, sy)})"
+            f" OR (({d2} = 0D) AND {_seg_onseg_sql(ax, ay, bx, by, tx, ty)})"
+            f" OR (({d3} = 0D) AND {_seg_onseg_sql(sx, sy, tx, ty, ax, ay)})"
+            f" OR (({d4} = 0D) AND {_seg_onseg_sql(sx, sy, tx, ty, bx, by)}))")
+
+
+def _seg_cross_sql(E: str, sx, sy, tx, ty) -> str:
+    """Any packed edge of {E} intersects segment (S,T): tier-unrolled
+    whole-stage-codegen within <=8 / <=32 edges, interpreted exists()
+    above (subcell packs keep real layers inside the tiers)."""
+    sz = _esz(E)
+
+    def unroll(k):
+        terms = [f"(({i} <= {sz}) AND "
+                 f"{_seg_touch_term(_eacc(E, i), sx, sy, tx, ty)})"
+                 for i in range(1, k + 1)]
+        return f"({' OR '.join(terms)})"
+    lam = (f"exists(sequence(1, {sz}), i -> "
+           f"{_seg_touch_term(_eacc(E, 'i'), sx, sy, tx, ty)})")
+    return (f"(CASE WHEN {sz} <= {PIP_UNROLL_SMALL} "
+            f"THEN {unroll(PIP_UNROLL_SMALL)} "
+            f"WHEN {sz} <= {PIP_UNROLL_EDGES} "
+            f"THEN {unroll(PIP_UNROLL_EDGES)} ELSE {lam} END)")
+
+
+def _seg_rect_cross_sql(x0, y0, x1, y1, sx, sy, tx, ty) -> str:
+    """Segment x axis-aligned rectangle boundary: the four synthesized
+    edges through the same touch term.  Edge direction/start is
+    irrelevant — the per-edge boolean is invariant under endpoint swap
+    (exact negation of each orientation), so any ring orientation the
+    kernel stores gives the same answer."""
+    edges = [(x0, y0, x1, y0), (x1, y0, x1, y1),
+             (x1, y1, x0, y1), (x0, y1, x0, y0)]
+    return ("(" + " OR ".join(
+        _seg_touch_term(e, sx, sy, tx, ty) for e in edges) + ")")
+
+
+def _explode_segments(left: DataFrame, left_id: str, lid_t: str) -> DataFrame:
+    """O(|left|) Arrow pass (NOT per-pair): lines -> one row per segment
+    (head flag on the first segment of the first chain, whose start is
+    the containment probe chains[0][0]).  Single-vertex chains emit a
+    degenerate (P,P) segment so the head probe survives."""
+    def explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ga = from_wkb(list(pdf["geometry"]))
+            lids, sxs, sys_, txs, tys, heads = [], [], [], [], [], []
+            for gi in range(len(ga)):
+                lid = pdf.iloc[gi, 0]
+                first = True
+                for chain in ga.rings_of_geom(gi):
+                    if len(chain) == 1:
+                        a = b = chain
+                    else:
+                        a, b = chain[:-1], chain[1:]
+                    n = len(a)
+                    lids.extend([lid] * n)
+                    sxs.extend(a[:, 0].tolist())
+                    sys_.extend(a[:, 1].tolist())
+                    txs.extend(b[:, 0].tolist())
+                    tys.extend(b[:, 1].tolist())
+                    heads.extend([first] + [False] * (n - 1))
+                    first = False
+            yield pd.DataFrame({left_id: lids, "__sx": sxs, "__sy": sys_,
+                                "__tx": txs, "__ty": tys, "__head": heads})
+
+    return left.select(left_id, "geometry").mapInPandas(
+        explode, schema=(f"{left_id} {lid_t}, __sx double, __sy double, "
+                         "__tx double, __ty double, __head boolean"))
+
+
+def _seg_match_sql(g: float) -> str:
+    """Per-(segment, cover-row) match predicate over the packed columns.
+    Vert rows store swapped edge coordinates, so the crossing/PIP terms
+    read swapped probe coordinates; the rect branch and all gates use the
+    unswapped originals."""
+    ssx = "(CASE WHEN __vert THEN __sy ELSE __sx END)"
+    ssy = "(CASE WHEN __vert THEN __sx ELSE __sy END)"
+    stx = "(CASE WHEN __vert THEN __ty ELSE __tx END)"
+    sty = "(CASE WHEN __vert THEN __tx ELSE __ty END)"
+    head_in_rect = ("(__sx >= __rminx AND __sx <= __rmaxx AND "
+                    "__sy >= __rminy AND __sy <= __rmaxy)")
+    # head-PIP validity gate: the subset/base are exact only for probes
+    # inside the row's region — the cell (non-subdivided rows: rect is
+    # the whole zone bbox, so require the head's cell = this row's cell)
+    # or the subcell rect + clipped-floor assignment (subdivided rows)
+    head_cell = (f"(cast(floor((__sx + {FALSE_EASTING}) / {g}) as bigint) "
+                 f"* {1 << Y_BITS} + cast(floor(__sy / {g}) as bigint))")
+    sub_f = _SUBCELL_FILTER.replace("__x", "__sx").replace("__y", "__sy")
+    head_gate = (f"(__head AND {head_in_rect} AND {sub_f} AND "
+                 f"(__km1 > 0 OR {head_cell} = cell_key))")
+    return (
+        "CASE WHEN __isrect THEN "
+        f"((__head AND {head_in_rect}) OR "
+        f"{_seg_rect_cross_sql('__rminx', '__rminy', '__rmaxx', '__rmaxy', '__sx', '__sy', '__tx', '__ty')}) "
+        f"ELSE ({_seg_cross_sql('__e', ssx, ssy, stx, sty)} OR "
+        f"({head_gate} AND "
+        f"{_pip_sql_any('__e', ssx, ssy, '__base')})) END")
+
+
+def _segments_vs_polygons_jvm(spark, left, rids, ra, rb, r_rect, *,
+                              left_id, right_id, rid_t, lid_t,
+                              gridsize) -> DataFrame:
+    """All-JVM refine for line-left x polygon/rect-right `intersects`:
+    segment explode (one O(|left|) Arrow pass) -> JVM cell-cover explode
+    -> broadcast cell join against the subset pack -> codegen
+    crossing/head-PIP -> distinct pairs.  No Python on the pair path."""
+    import pandas as _pd
+    g = float(gridsize)
+    out_right = right_id if right_id != left_id else right_id + "_2"
+    rids = np.asarray(rids)
+    edge_rows = _edge_rows_of(ra)
+
+    ncells = ((np.floor((rb[:, 2] + FALSE_EASTING) / g)
+               - np.floor((rb[:, 0] + FALSE_EASTING) / g) + 1)
+              * (np.floor(rb[:, 3] / g) - np.floor(rb[:, 1] / g) + 1)) \
+        if len(rb) else np.zeros(0)
+    small = ncells <= MAX_COVER_CELLS
+    sm = np.nonzero(small)[0]
+    rcells = spark.createDataFrame(
+        _pack_cover_rows([edge_rows[i] for i in sm], rids[sm], rb[sm],
+                         r_rect[sm], g, 0.0),
+        schema=f"__rid {rid_t}" + _COVER_SCHEMA_TAIL)
+
+    # split LINES (not segments) by cover size BEFORE the explode: a
+    # segment's bbox is contained in its line's bbox, so every segment of
+    # a small line is itself small — the split is a pure column filter and
+    # the common case (no country-sized line) runs the Arrow explode
+    # exactly once.  The existence probe is one cheap columnar agg.
+    ncells_sql = (
+        f"((cast(floor((maxx + {FALSE_EASTING}) / {g}) as bigint)"
+        f" - cast(floor((minx + {FALSE_EASTING}) / {g}) as bigint) + 1)"
+        f" * (cast(floor(maxy / {g}) as bigint)"
+        f" - cast(floor(miny / {g}) as bigint) + 1))")
+    mx = left.agg(F.max(F.expr(ncells_sql)).alias("m")).first()["m"]
+    has_big_lines = mx is not None and mx > MAX_COVER_CELLS
+    l_small = left.where(F.expr(f"{ncells_sql} <= {MAX_COVER_CELLS}")) \
+        if has_big_lines else left
+
+    def explode(src):
+        return _explode_segments(src, left_id, lid_t) \
+            .withColumn("minx", F.least("__sx", "__tx")) \
+            .withColumn("miny", F.least("__sy", "__ty")) \
+            .withColumn("maxx", F.greatest("__sx", "__tx")) \
+            .withColumn("maxy", F.greatest("__sy", "__ty"))
+
+    s_small = explode(l_small)
+
+    seg_cols = [left_id, "__sx", "__sy", "__tx", "__ty", "__head"]
+    sc = _cover_cells(s_small, g).select(*seg_cols, "cell_key",
+                                         F.col("minx").alias("__sminx"),
+                                         F.col("miny").alias("__sminy"),
+                                         F.col("maxx").alias("__smaxx"),
+                                         F.col("maxy").alias("__smaxy"))
+    cand = sc.join(F.broadcast(rcells), "cell_key") \
+        .where((F.col("__sminx") <= F.col("__rmaxx")) &
+               (F.col("__smaxx") >= F.col("__rminx")) &
+               (F.col("__sminy") <= F.col("__rmaxy")) &
+               (F.col("__smaxy") >= F.col("__rminy")))
+    matched = cand.where(F.expr(_seg_match_sql(g))) \
+        .select(F.col(left_id), F.col("__rid"))
+
+    # full-edge fallback rows (base 0, unswapped, whole-geometry rect):
+    # big segments x ALL rights, and remaining segments x big rights —
+    # rare country-sized cases; correctness identical, interpreted tier
+    def full_edge_df(idx):
+        eax, eay, ebx, eby = _edge_cols_of(ra, r_rect)
+        return F.broadcast(spark.createDataFrame(
+            [(rids[i].item() if hasattr(rids[i], "item") else rids[i],
+              bool(r_rect[i]), 0, False, 0.0, 0.0, float(g), float(g),
+              0, 0, 0,
+              float(rb[i, 0]), float(rb[i, 1]),
+              float(rb[i, 2]), float(rb[i, 3]),
+              eax[i], eay[i], ebx[i], eby[i]) for i in idx],
+            schema=(f"__rid {rid_t}, __isrect boolean, __base int, "
+                    "__vert boolean, __cx0 double, __cy0 double, "
+                    "__swx double, __swy double, "
+                    "__si int, __sj int, __km1 int, "
+                    "__rminx double, __rminy double, "
+                    "__rmaxx double, __rmaxy double, "
+                    "__eax array<double>, __eay array<double>, "
+                    "__ebx array<double>, __eby array<double>")))
+
+    def bbox_branch(seg_df, right_df):
+        c = seg_df.crossJoin(right_df) \
+            .where((F.col("minx") <= F.col("__rmaxx")) &
+                   (F.col("maxx") >= F.col("__rminx")) &
+                   (F.col("miny") <= F.col("__rmaxy")) &
+                   (F.col("maxy") >= F.col("__rminy"))) \
+            .withColumn("cell_key", F.expr(
+                f"cast(floor((__sx + {FALSE_EASTING}) / {g}) as bigint) "
+                f"* {1 << Y_BITS} + cast(floor(__sy / {g}) as bigint)"))
+        return c.where(F.expr(_seg_match_sql(g))) \
+            .select(F.col(left_id), F.col("__rid"))
+
+    if has_big_lines:
+        s_big = explode(left.where(
+            F.expr(f"{ncells_sql} > {MAX_COVER_CELLS}")))
+        matched = matched.unionByName(
+            bbox_branch(s_big, full_edge_df(range(len(rids)))))
+    if (~small).any():
+        # big rights re-consume s_small: one extra O(|left|) Arrow pass,
+        # accepted because country-sized rights are rare and persisting
+        # the exploded segments would pin executor memory per call
+        matched = matched.unionByName(
+            bbox_branch(s_small, full_edge_df(np.nonzero(~small)[0])))
+    return matched.distinct() \
+        .select(F.col(left_id), F.col("__rid").alias(out_right))
 
 
 _COVER_COLS = ["__rid", "cell_key", "__rminx", "__rminy", "__rmaxx",

@@ -41,7 +41,12 @@ BASE_ENV = {
 VARIANTS = {
     "squares": {},
     "concave": {"SGSPARK_CONCAVE_ZONES": "1"},
-    "ngon64": {"SGSPARK_NGON_ZONES": "64"},
+    # ngon64 zones fan out ~131 pairs/point (r200-2000 stars cover the
+    # world many times over), so 8M docs would blow the per-run timeout;
+    # 1M docs keeps the 4-core run ~550s while compute still dominates
+    # the ~15s fixed costs.  Efficiency is a within-pair ratio, so the
+    # scale choice only needs to be identical across the pair.
+    "ngon64": {"SGSPARK_NGON_ZONES": "64", "SPARK_GRAFT_SCALE": "200"},
 }
 
 
@@ -52,7 +57,8 @@ def log(line: str):
 
 
 def bench_run(cores: int, extra: dict) -> float:
-    env = dict(os.environ, **BASE_ENV, **extra, SPARK_GRAFT_CPUS=str(cores))
+    env = {**os.environ, **BASE_ENV, **extra,
+           "SPARK_GRAFT_CPUS": str(cores)}
     t0 = time.time()
     out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
                          env=env, capture_output=True, text=True,
