@@ -27,6 +27,8 @@ from __future__ import annotations
 
 from typing import Iterator
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
@@ -1317,6 +1319,54 @@ def _edge_rows_of(ga) -> list[list[tuple]]:
     return out
 
 
+# join-key cardinality target per shuffle partition: the shuffled cell
+# join balances only when distinct cell keys >> partitions (makespan of
+# hashing C equal-weight keys into P bins ~ 1 + 1/sqrt(C/P)); 32 keys
+# per partition keeps the expected straggler under ~20% even with
+# per-cell load variance
+_CELLS_PER_PARTITION = 32
+# pack-volume floor: never shrink cells below avg_zone_extent / 8
+# (~<=81 cover rows per average zone keeps the O(|right|) pack pass and
+# its shuffle footprint bounded)
+_PACK_ROWS_AXIS = 8
+
+
+def _tuned_gridsize(spark, g0: float, st, expand: float) -> float:
+    """Shrink the cell gridsize when the right layer's world extent gives
+    too few distinct join keys for a balanced shuffle (the fixed default
+    is sized for country-scale layers; a city-scale layer at gridsize
+    2000 may span <100 cells, so the 64-partition cell join degenerates
+    into a handful of hot hash buckets and stops scaling past a few
+    cores).  Pure driver arithmetic over the stats aggregate: pick the
+    largest g that yields ~32 cells per shuffle partition, floored so
+    per-zone cover stays bounded (avg extent / 8) and no zone exceeds
+    MAX_COVER_CELLS (max extent / 32).  Never grows g beyond the caller's
+    value; join results are gridsize-invariant, so tuning is semantics-
+    free.  SGSPARK_CELL_TUNE=0 disables (A/B kill switch)."""
+    if os.environ.get("SGSPARK_CELL_TUNE") == "0":
+        return g0
+    try:
+        nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        nparts = 64
+    wx = float(st["wx1"] - st["wx0"]) + 2 * expand
+    wy = float(st["wy1"] - st["wy0"]) + 2 * expand
+    target = float(_CELLS_PER_PARTITION * max(nparts, 1))
+    if wx <= 0 or wy <= 0 or not np.isfinite(wx * wy):
+        return g0
+    if (wx / g0) * (wy / g0) >= target:
+        return g0  # already enough keys (country-scale layer)
+    g_card = float(np.sqrt(wx * wy / target))
+    g_pack = max(float(st["aex"] or 0), float(st["aey"] or 0),
+                 2 * expand) / _PACK_ROWS_AXIS
+    g_cap = max(float(st["mex"] or 0), float(st["mey"] or 0),
+                2 * expand) / 32.0
+    g = max(g_card, g_pack, g_cap)
+    if not np.isfinite(g) or g <= 0:
+        return g0
+    return min(g0, g)
+
+
 def _points_vs_polygons_distributed(left: DataFrame, right: DataFrame, *,
                                     left_id: str, right_id: str,
                                     gridsize: float,
@@ -1338,25 +1388,34 @@ def _points_vs_polygons_distributed(left: DataFrame, right: DataFrame, *,
         return None
     g0 = float(gridsize)
     expand = float(distance or 0.0) if predicate == "dwithin" else 0.0
-    ncells_sql = (
-        f"((cast(floor((maxx + {expand} + {FALSE_EASTING}) / {g0}) as bigint)"
-        f" - cast(floor((minx - {expand} + {FALSE_EASTING}) / {g0}) as bigint) + 1)"
-        f" * (cast(floor((maxy + {expand}) / {g0}) as bigint)"
-        f" - cast(floor((miny - {expand}) / {g0}) as bigint) + 1))")
     if "geom_kind" in right.columns:
         type_ok = F.col("geom_kind") == "polygon"
     else:
         from .geometry_types import wkb_gtype_col
         type_ok = wkb_gtype_col("geometry").isin(3, 6)
-    # null-safe: a NULL geom_kind must count as "not ok" (three-valued
-    # logic would otherwise let it slip past ~type_ok into the edge-pack
-    # path); coalesce forces NULL -> kernel fallback.
-    bad = right.where(~F.coalesce(type_ok, F.lit(False)) |
-                      F.expr(f"{ncells_sql} > {MAX_COVER_CELLS}")).head(1)
-    if bad:
-        return None  # mixed types or country-sized rights: kernel path
+    # ONE columnar pass over the right: the null-safe type probe (a NULL
+    # geom_kind must count as "not ok" — coalesce forces NULL -> kernel
+    # fallback) fused with the bbox stats the gridsize tuner needs.
+    st = right.agg(
+        F.max((~F.coalesce(type_ok, F.lit(False))).cast("int")).alias("bad"),
+        F.count(F.lit(1)).alias("n"),
+        F.min("minx").alias("wx0"), F.max("maxx").alias("wx1"),
+        F.min("miny").alias("wy0"), F.max("maxy").alias("wy1"),
+        F.avg(F.col("maxx") - F.col("minx")).alias("aex"),
+        F.avg(F.col("maxy") - F.col("miny")).alias("aey"),
+        F.max(F.col("maxx") - F.col("minx")).alias("mex"),
+        F.max(F.col("maxy") - F.col("miny")).alias("mey")).first()
+    if not st["n"] or st["bad"]:
+        return None  # mixed types (or empty right): kernel path
     spark = left.sparkSession
-    g = float(gridsize)
+    g = _tuned_gridsize(spark, g0, st, expand)
+    # country-sized rights: conservative cross-max bound on the per-zone
+    # cover (slightly stricter than the old per-row check — a layer whose
+    # widest and tallest zones differ may fall back to the kernel where a
+    # per-row check would not; fallback is correct, just uncompiled)
+    if (((st["mex"] + 2 * expand) / g + 2)
+            * ((st["mey"] + 2 * expand) / g + 2)) > MAX_COVER_CELLS:
+        return None
     out_right = right_id if right_id != left_id else right_id + "_2"
     rid_t = [f.dataType.simpleString() for f in right.schema.fields
              if f.name == right_id][0]
@@ -1392,6 +1451,19 @@ def _points_vs_polygons_distributed(left: DataFrame, right: DataFrame, *,
     l = l.withColumn("cell_key", F.expr(
         f"cast(floor((__x + {FALSE_EASTING}) / {g}) as bigint) * {1 << Y_BITS}"
         f" + cast(floor(__y / {g}) as bigint)"))
+    # pin the join shuffle at the configured partition count: the pair
+    # stage is compute-dense but byte-light (a few hundred bytes buy a
+    # whole unrolled PIP evaluation), so AQE's byte-based coalescing
+    # would fold it down to ~defaultParallelism tasks — one task per
+    # core, no straggler averaging.  Explicit same-key/same-N
+    # repartitions are AQE-exempt and satisfy the join's distribution
+    # requirement, so no extra exchange is introduced.
+    try:
+        nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        nparts = 64
+    l = l.repartition(nparts, "cell_key")
+    r_pack = r_pack.repartition(nparts, "cell_key")
     # points cover exactly one cell: no anchor dedup needed (huge-bbox
     # rights were excluded by the probe above — they take the kernel path)
     cand = l.join(r_pack, "cell_key") \
