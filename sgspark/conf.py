@@ -12,6 +12,11 @@ Keys:
   use_jvm_pip      True/False force the compiled whole-stage-codegen
                    point x polygon join on/off; None (default) defers to
                    the `SGSPARK_DISABLE_JVM_PIP` env kill switch.
+  use_jvm_poly2    True force the compiled polygon x polygon
+                   `intersects` composition (verified equal to the
+                   kernel but measured slower — see joins._poly2_wanted);
+                   None/False (default) keep the Arrow kernel, or defer
+                   to `SGSPARK_POLY2=1`.
   refine_runner    callable(la, ra, li, ri, predicate) -> bool ndarray —
                    replaces the pair-refine kernel (reference
                    RTreeQueryRunner.query seam, runners.py:160-200).
@@ -30,6 +35,7 @@ from typing import Any, Callable, Iterator
 
 config: dict[str, Any] = {
     "use_jvm_pip": None,
+    "use_jvm_poly2": None,
     "refine_runner": None,
     "union_runner": None,
     "n_jobs": None,

@@ -493,6 +493,48 @@ def _sjoin_pairs_broadcast(left: DataFrame, right: DataFrame, predicate: str,
                 right_id=right_id, rid_t=rid_t, lid_t=lid_t,
                 gridsize=gridsize)
 
+    # POLYGON lefts x polygon/rect rights, plain `intersects`: compiled
+    # crossing/containment composition (round 5) — byte-gated so small
+    # layers keep the latency-optimal Arrow kernel while large layers
+    # (where per-pair cost dominates) take whole-stage codegen.  One
+    # fused columnar probe checks left-family purity (null-safe) and the
+    # bbox-cover bound; mixed/huge lefts fall back to the kernel.
+    if (len(ra) > 0 and bool(np.isin(ra.kinds, (3, 6)).all())
+            and predicate == "intersects" and not keep_distance
+            and assume_left_points is not True
+            and assume_left_lines is not True and jvm_pip_enabled()
+            and _poly2_wanted(left)):
+        gq = float(gridsize)
+        ncells_sql = (
+            f"((cast(floor((maxx + {FALSE_EASTING}) / {gq}) as bigint)"
+            f" - cast(floor((minx + {FALSE_EASTING}) / {gq}) as bigint) + 1)"
+            f" * (cast(floor(maxy / {gq}) as bigint)"
+            f" - cast(floor(miny / {gq}) as bigint) + 1))")
+        if "geom_kind" in left.columns:
+            type_ok = F.col("geom_kind") == "polygon"
+        else:
+            from .geometry_types import wkb_gtype_col
+            type_ok = wkb_gtype_col("geometry").isin(3, 6)
+        st = left.agg(
+            F.max((~F.coalesce(type_ok, F.lit(False))).cast("int"))
+            .alias("bad"),
+            F.count(F.lit(1)).alias("n"),
+            F.max(F.expr(ncells_sql)).alias("mc")).first()
+        if (st["n"] and not st["bad"] and st["mc"] is not None
+                and int(st["mc"]) <= MAX_COVER_CELLS):
+            # (country-sized LEFT rows would explode the term-3 pack;
+            # such layers keep the kernel path, like the distributed
+            # point-join's huge-right fallback)
+            PATH_STATS["jvm_polys2_bcast"] += 1
+            lid_t = [f.dataType.simpleString() for f in left.schema.fields
+                     if f.name == left_id][0]
+            rid_t = [f.dataType.simpleString() for f in right.schema.fields
+                     if f.name == right_id][0]
+            return _polys_vs_polys_jvm(
+                spark, left, rids, ra, rb, r_rect, left_id=left_id,
+                right_id=right_id, rid_t=rid_t, lid_t=lid_t,
+                gridsize=gridsize, left_max_cover=int(st["mc"]))
+
     bc = spark.sparkContext.broadcast((rid_to_idx, ra))
 
     g = float(gridsize)
@@ -955,11 +997,18 @@ def _seg_match_sql(g: float) -> str:
 
 def _segments_vs_polygons_jvm(spark, left, rids, ra, rb, r_rect, *,
                               left_id, right_id, rid_t, lid_t,
-                              gridsize) -> DataFrame:
+                              gridsize, raw_pairs: bool = False,
+                              left_max_cover: int | None = None
+                              ) -> DataFrame:
     """All-JVM refine for line-left x polygon/rect-right `intersects`:
     segment explode (one O(|left|) Arrow pass) -> JVM cell-cover explode
     -> broadcast cell join against the subset pack -> codegen
-    crossing/head-PIP -> distinct pairs.  No Python on the pair path."""
+    crossing/head-PIP -> distinct pairs.  No Python on the pair path.
+
+    `raw_pairs=True` returns the pre-distinct (left_id, __rid) matches —
+    the polygon x polygon composition unions its head-containment term in
+    before the single distinct.  `left_max_cover` skips the left-side
+    bbox-cover probe job when the caller already aggregated it."""
     import pandas as _pd
     g = float(gridsize)
     out_right = right_id if right_id != left_id else right_id + "_2"
@@ -987,7 +1036,8 @@ def _segments_vs_polygons_jvm(spark, left, rids, ra, rb, r_rect, *,
         f" - cast(floor((minx + {FALSE_EASTING}) / {g}) as bigint) + 1)"
         f" * (cast(floor(maxy / {g}) as bigint)"
         f" - cast(floor(miny / {g}) as bigint) + 1))")
-    mx = left.agg(F.max(F.expr(ncells_sql)).alias("m")).first()["m"]
+    mx = left_max_cover if left_max_cover is not None else \
+        left.agg(F.max(F.expr(ncells_sql)).alias("m")).first()["m"]
     has_big_lines = mx is not None and mx > MAX_COVER_CELLS
     l_small = left.where(F.expr(f"{ncells_sql} <= {MAX_COVER_CELLS}")) \
         if has_big_lines else left
@@ -1059,7 +1109,106 @@ def _segments_vs_polygons_jvm(spark, left, rids, ra, rb, r_rect, *,
         # the exploded segments would pin executor memory per call
         matched = matched.unionByName(
             bbox_branch(s_small, full_edge_df(np.nonzero(~small)[0])))
+    if raw_pairs:
+        return matched
     return matched.distinct() \
+        .select(F.col(left_id), F.col("__rid").alias(out_right))
+
+
+def _poly2_wanted(left: DataFrame) -> bool:
+    """Routing dial for the compiled polygon x polygon composition:
+    OPT-IN ONLY (config `use_jvm_poly2=True` or env `SGSPARK_POLY2=1`).
+
+    Measured round 5 (BENCH/BASELINE.md "negative result"): the Arrow
+    kernel beats the compiled composition at every tested configuration —
+    best-vs-best 5.4 s vs 11.9 s on 200k 6-edge lefts x 2k 6-edge rights,
+    and 2.8 s vs 48 s on 100k lefts x 1k 256-edge rights — with
+    pair-for-pair identical output.  Two structural causes: (a) candidate
+    amplification — the segment explode multiplies left rows by segments
+    and the K x K subcell refinement multiplies broadcast cover rows, so
+    the hash join streams segments x cover-rows row-pairs where the
+    kernel evaluates once per (geometry, geometry) pair with vectorized
+    numpy; (b) the match predicate lands in the BroadcastHashJoin's
+    RESIDUAL condition, whose generated code exceeds JIT method limits
+    for the seg-touch unroll tiers and silently evaluates interpreted.
+    The kernel's polygon x polygon refine is Arrow-vectorized columnar
+    batches (never per-row Python), so it is already the scalable
+    default; the compiled path stays as a verified-equal seam for
+    workloads where per-pair edge products dominate."""
+    from .conf import config
+    v = config.get("use_jvm_poly2")
+    if v is not None:
+        return bool(v)
+    return os.environ.get("SGSPARK_POLY2") == "1"
+
+
+def _heads_in_left_polys(spark, heads_pdf: pd.DataFrame, left: DataFrame,
+                         left_id: str, lid_t: str, hid_t: str,
+                         g: float) -> DataFrame:
+    """(left_id, __hid) pairs where the head point of a (collected) right
+    geometry lies inside a LEFT polygon — the B-in-A containment term of
+    the compiled polygon x polygon join.  LEFT stays distributed: one
+    O(|left|) Arrow pack pass (per-cover-cell edge subsets), then the
+    tiny head set broadcasts onto it (no shuffle of the pack) and the
+    boundary-inclusive PIP evaluates in whole-stage codegen — the same
+    expression test_jvm_pip proves bit-identical to the kernel PIP."""
+    pack = _polys_pack_df(left, left_id, lid_t, g, 0.0, rect_fast=True)
+    h = spark.createDataFrame(heads_pdf,
+                              schema=f"__hid {hid_t}, __x double, __y double")
+    h = h.withColumn("cell_key", F.expr(
+        f"cast(floor((__x + {FALSE_EASTING}) / {g}) as bigint) * {1 << Y_BITS}"
+        f" + cast(floor(__y / {g}) as bigint)"))
+    cand = pack.join(F.broadcast(h), "cell_key") \
+        .where((F.col("__x") >= F.col("__rminx")) &
+               (F.col("__x") <= F.col("__rmaxx")) &
+               (F.col("__y") >= F.col("__rminy")) &
+               (F.col("__y") <= F.col("__rmaxy")) &
+               F.expr(_SUBCELL_FILTER))
+    cand = cand.withColumn(
+        "__px", F.expr("CASE WHEN __vert THEN __y ELSE __x END")) \
+        .withColumn(
+        "__py", F.expr("CASE WHEN __vert THEN __x ELSE __y END"))
+    return cand.where(
+        F.expr(_pip_dispatch_sql("__e", "__px", "__py", "__isrect",
+                                 "__base"))) \
+        .select(F.col("__rid").alias(left_id), "__hid")
+
+
+def _polys_vs_polys_jvm(spark, left, rids, ra, rb, r_rect, *, left_id,
+                        right_id, rid_t, lid_t, gridsize,
+                        left_max_cover: int) -> DataFrame:
+    """Compiled polygon-left x polygon/rect-right `intersects` (round 5):
+    mirrors the kernel's `_geom_geom_intersects` (geom/predicates.py:443)
+    for the polygon x polygon family —
+
+      A intersects B  <=>  any ring segment of A touches any edge of B
+                           OR head(A) = chains[0][0] of A inside B
+                           OR head(B) = chains[0][0] of B inside A
+
+    — where the first two terms ARE the compiled segment x polygon path
+    (`_segments_vs_polygons_jvm`: polygon rings explode to the same closed
+    ring segments the kernel crossing-tests, head flag on chains[0][0]),
+    and the third is a broadcast of the collected right's head points
+    onto a per-cover-cell edge-subset pack of the LEFT
+    (`_heads_in_left_polys`).  Every term evaluates in whole-stage
+    codegen; Python touches each side once, O(|rows|), never per pair."""
+    out_right = right_id if right_id != left_id else right_id + "_2"
+    g = float(gridsize)
+    segs = _segments_vs_polygons_jvm(
+        spark, left, rids, ra, rb, r_rect, left_id=left_id,
+        right_id=right_id, rid_t=rid_t, lid_t=lid_t, gridsize=gridsize,
+        raw_pairs=True, left_max_cover=left_max_cover)
+    starts = ra.coords_start_per_geom()
+    counts = ra.coords_count_per_geom()
+    ok = counts > 0
+    rids = np.asarray(rids)
+    heads_pdf = pd.DataFrame({"__hid": rids[ok],
+                              "__x": ra.coords[starts[ok], 0],
+                              "__y": ra.coords[starts[ok], 1]})
+    term3 = _heads_in_left_polys(spark, heads_pdf, left, left_id, lid_t,
+                                 rid_t, g) \
+        .select(F.col(left_id), F.col("__hid").alias("__rid"))
+    return segs.unionByName(term3).distinct() \
         .select(F.col(left_id), F.col("__rid").alias(out_right))
 
 
@@ -1319,6 +1468,38 @@ def _edge_rows_of(ga) -> list[list[tuple]]:
     return out
 
 
+def _polys_pack_df(right: DataFrame, right_id: str, rid_t: str, g: float,
+                   expand: float, rect_fast: bool) -> DataFrame:
+    """Distributed O(|right|) Arrow pack pass: one row per (right
+    geometry, cover cell) carrying that cell's edge SUBSET + base parity
+    (`_pack_cover_rows`).  Shared by the distributed point x polygon join
+    and the compiled polygon x polygon head-containment term."""
+    pack_schema = f"__rid {rid_t}" + _COVER_SCHEMA_TAIL
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .geom.predicates import rect_flags
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ga = from_wkb(pdf["geometry"].tolist())
+            is_rect, _ = rect_flags(ga)
+            if not rect_fast:
+                is_rect = np.zeros(len(ga), dtype=bool)
+            b = pdf[["minx", "miny", "maxx", "maxy"]].to_numpy(
+                dtype=np.float64)
+            # one output row per (right, cover cell) with that cell's edge
+            # SUBSET — high-vertex polygons compile too (VERDICT r4 #1),
+            # and the cell join shuffles local edges instead of replicating
+            # every polygon's full edge array per cover cell
+            yield _pack_cover_rows(_edge_rows_of(ga),
+                                   pdf[right_id].to_numpy(), b,
+                                   is_rect, g, expand)
+
+    return right.select(right_id, "geometry", "minx", "miny",
+                        "maxx", "maxy") \
+        .mapInPandas(pack, schema=pack_schema)
+
+
 # join-key cardinality target per shuffle partition: the shuffled cell
 # join balances only when distinct cell keys >> partitions (makespan of
 # hashing C equal-weight keys into P bins ~ 1 + 1/sqrt(C/P)); 32 keys
@@ -1420,32 +1601,9 @@ def _points_vs_polygons_distributed(left: DataFrame, right: DataFrame, *,
     rid_t = [f.dataType.simpleString() for f in right.schema.fields
              if f.name == right_id][0]
 
-    pack_schema = f"__rid {rid_t}" + _COVER_SCHEMA_TAIL
-
     rect_fast = predicate != "dwithin"  # distance needs edges for ALL rows
 
-    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from .geom.predicates import rect_flags
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            ga = from_wkb(pdf["geometry"].tolist())
-            is_rect, _ = rect_flags(ga)
-            if not rect_fast:
-                is_rect = np.zeros(len(ga), dtype=bool)
-            b = pdf[["minx", "miny", "maxx", "maxy"]].to_numpy(
-                dtype=np.float64)
-            # one output row per (right, cover cell) with that cell's edge
-            # SUBSET — high-vertex polygons compile too (VERDICT r4 #1),
-            # and the cell join shuffles local edges instead of replicating
-            # every polygon's full edge array per cover cell
-            yield _pack_cover_rows(_edge_rows_of(ga),
-                                   pdf[right_id].to_numpy(), b,
-                                   is_rect, g, expand)
-
-    r_pack = right.select(right_id, "geometry", "minx", "miny",
-                          "maxx", "maxy") \
-        .mapInPandas(pack, schema=pack_schema)
+    r_pack = _polys_pack_df(right, right_id, rid_t, g, expand, rect_fast)
     l = left.select(F.col(left_id), F.col("minx").alias("__x"),
                     F.col("miny").alias("__y"))
     l = l.withColumn("cell_key", F.expr(
