@@ -644,6 +644,78 @@ def q_events_hourly(spark, sf_dir):
                  .cast("double").alias("sum_value")))
 
 
+def q_deadend_holes(spark, sf_dir):
+    """close_network_holes_to_deadends over a deterministic forest of
+    disjoint vertical segments (every endpoint a deadend), paired so the
+    nearest OTHER deadend is sometimes the segment's own partner and
+    sometimes the adjacent segment's endpoint:
+
+      key k (customer): group = (k-1) div 2, parity = (k-1) % 2,
+      x = 200*group + 12*parity, nodes (x,0) and (x,L),
+      L = 5 + 4*((k-1) % 7) in {5,9,...,29}.
+
+    Within a group the two segment bases are 12 apart; candidate
+    distances per deadend are {L (odd int), 12, sqrt(144+dL^2)
+    (irrational), >=188} — pairwise distinct by construction, so the
+    nearest neighbor is unique and the SQL oracle (rank by distance over
+    the deadend cross join) is exact; the fill lengths are bit-equal
+    because both sides take IEEE sqrt of exactly-representable integer
+    sums.  max_distance=12.5 sits between the partner and cross regimes
+    so both fill kinds AND no-fill rows occur.  Reference
+    closing_network_holes.py:204-276."""
+    from sgspark.network import close_network_holes_to_deadends
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet") \
+        .select(F.col("c_custkey").cast("long").alias("k"))
+    e = cust.selectExpr(
+        "cast(200 * ((k-1) div 2) + 12 * ((k-1) % 2) as long) AS x",
+        "cast(5 + 4 * ((k-1) % 7) as long) AS L")
+    edges = e.selectExpr(
+        "concat(x, '_0') AS source",
+        "concat(x, '_', L) AS target",
+        "cast(L as double) AS length")
+    out = close_network_holes_to_deadends(edges, 12.5)
+    return out.where("hole_fill").select("source", "target", "length") \
+        .orderBy("source", "target")
+
+
+def q_split_eliminate(spark, sf_dir):
+    """split_and_eliminate_by_longest over 25 analytic motifs (nation):
+    keepers K1 = 10x10 and K2 = 14x10 sharing the border x = 10 (offset
+    100*k), one sliver strip on top straddling it, x in
+    [2+k%3, 18-k%2], height h = 2 + 0.5*(k%4).  The keepers' shared
+    border extended by the tolerance splits the sliver at exactly
+    x = 10; each piece's only positive-length shared border is with the
+    keeper below it, so K1 absorbs (8-k%3)*h and K2 absorbs (8-k%2)*h —
+    closed-form per-id areas the oracle computes arithmetically.  Areas
+    rounded to 4 decimals: the split/difference passes leave ~1e-5
+    deterministic cut-line debris, two orders below the rounding grain.
+    Reference cleaning.py split_and_eliminate_by_longest:530-591."""
+    from sgspark.cleaning import split_and_eliminate_by_longest
+    from sgspark.io import wkt_to_wkb_df
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet") \
+        .select(F.col("n_nationkey").cast("long").alias("k"))
+    k1 = nat.selectExpr(
+        "2*k AS pid",
+        "concat('POLYGON ((', 100*k, ' 0, ', 100*k+10, ' 0, ', 100*k+10,"
+        " ' 10, ', 100*k, ' 10, ', 100*k, ' 0))') AS geometry_wkt")
+    k2 = nat.selectExpr(
+        "2*k+1 AS pid",
+        "concat('POLYGON ((', 100*k+10, ' 0, ', 100*k+24, ' 0, ',"
+        " 100*k+24, ' 10, ', 100*k+10, ' 10, ', 100*k+10, ' 0))')"
+        " AS geometry_wkt")
+    sliv = nat.selectExpr(
+        "9000+k AS pid",
+        "concat('POLYGON ((', 100*k+2+k%3, ' 10, ', 100*k+18-k%2, ' 10, ',"
+        " 100*k+18-k%2, ' ', 12+0.5*(k%4), ', ', 100*k+2+k%3, ' ',"
+        " 12+0.5*(k%4), ', ', 100*k+2+k%3, ' 10))') AS geometry_wkt")
+    out = split_and_eliminate_by_longest(
+        wkt_to_wkb_df(k1.unionByName(k2)), wkt_to_wkb_df(sliv),
+        tolerance=4.0, id_col="pid", gridsize=50.0)
+    return _area_rows(out.where("pid >= 0").select("pid", "geometry"),
+                      ["pid"]) \
+        .select("pid", F.round("area", 4).alias("area")).orderBy("pid")
+
+
 def q_tpch_q1(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (li.groupBy("l_returnflag", "l_linestatus")
@@ -678,7 +750,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "route_costs": q_route_costs,
         "route_edges": q_route_edges,
         "component_size": q_component_size,
+        "deadend_holes": q_deadend_holes,
         "coverage_clean": q_coverage_clean,
+        "split_eliminate": q_split_eliminate,
         "dedup_exact": q_dedup_exact,
         "near_dup_pairs": q_near_dup_pairs,
         "token_stats": q_token_stats,
@@ -831,6 +905,46 @@ def oracle_sql() -> dict[str, str]:
                   - greatest({_LX0}, {ZX} - {ZR}) > 0""",
         # component_size: broken-chain components are integer intervals;
         # sizes derive from pure modular arithmetic (no graph traversal).
+        "deadend_holes": """
+            WITH seg AS (
+              SELECT 200*((CAST(c_custkey AS BIGINT)-1)//2)
+                       + 12*((CAST(c_custkey AS BIGINT)-1)%2) AS x,
+                     5 + 4*((CAST(c_custkey AS BIGINT)-1)%7) AS L
+              FROM customer),
+            dead AS (
+              SELECT printf('%d_0', x) AS id,
+                     CAST(x AS DOUBLE) AS px, 0.0 AS py FROM seg
+              UNION ALL
+              SELECT printf('%d_%d', x, L),
+                     CAST(x AS DOUBLE), CAST(L AS DOUBLE) FROM seg),
+            -- |dx| <= 13 prunes the cross join without losing any true
+            -- nearest (each deadend's own partner sits at dx = 0; the
+            -- next-nearest pruned candidate is >= 188 away)
+            cand AS (
+              SELECT a.id AS source, b.id AS target,
+                     sqrt((a.px-b.px)*(a.px-b.px)
+                          + (a.py-b.py)*(a.py-b.py)) AS length,
+                     ROW_NUMBER() OVER (PARTITION BY a.id ORDER BY
+                       sqrt((a.px-b.px)*(a.px-b.px)
+                            + (a.py-b.py)*(a.py-b.py))) AS rn
+              FROM dead a JOIN dead b
+                ON a.id <> b.id AND abs(a.px-b.px) <= 13)
+            SELECT source, target, length FROM cand
+            WHERE rn = 1 AND length < 12.5
+            ORDER BY source, target""",
+        "split_eliminate": """
+            WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS k
+                       FROM nation),
+            h AS (SELECT k, 2 + 0.5*(k % 4) AS hh FROM n)
+            SELECT * FROM (
+              SELECT 2*k AS pid,
+                     CAST(ROUND(100 + (8 - (k % 3)) * hh, 4) AS DOUBLE)
+                       AS area FROM h
+              UNION ALL
+              SELECT 2*k+1,
+                     CAST(ROUND(140 + (8 - (k % 2)) * hh, 4) AS DOUBLE)
+                       FROM h)
+            ORDER BY pid""",
         "component_size": """
             WITH keys AS (SELECT CAST(s_suppkey AS BIGINT) AS k
                           FROM supplier),
