@@ -48,8 +48,13 @@ def main():
     # evidence harness so compute dominates fixed per-job costs
     scale = int(os.environ.get("SPARK_GRAFT_SCALE", "1"))
 
-    spark = get_spark("sgspark-bench", cores=cores,
-                      shuffle_partitions=max(2 * cores, 16))
+    # shuffle width: the SGSPARK_SHUFFLE_PARTITIONS env pin (scaling
+    # protocol) takes effect inside get_spark; without it the default is
+    # partitions ~ 2x cores.  Round-5 audit: an explicit arg here had
+    # silently OVERRIDDEN the env pin since round 2, so prior scaling
+    # sessions ran partitions proportional to cores (16@4c / 32@16c)
+    # rather than the documented fixed pin — see BENCH/BASELINE.md.
+    spark = get_spark("sgspark-bench", cores=cores)
     spark.sparkContext.setLogLevel("ERROR")
 
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count() * scale

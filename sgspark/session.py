@@ -35,7 +35,7 @@ def get_spark(app: str = "sgspark", cores: int | None = None,
     else:
         master = f"local[{cores}]"
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    return (
+    b = (
         SparkSession.builder.master(master)
         .config("spark.executor.memory",
                 os.environ.get("SGSPARK_EXEC_MEM_MB", "3072") + "m")
@@ -53,5 +53,12 @@ def get_spark(app: str = "sgspark", cores: int | None = None,
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.driver.memory", os.environ.get("SGSPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    # extra confs for harness/profiling runs: "k=v;k=v" (e.g. event logs
+    # for stage-timeline attribution — SGSPARK_EXTRA_CONF=
+    # "spark.eventLog.enabled=true;spark.eventLog.dir=file:///tmp/ev")
+    for kv in filter(None, os.environ.get("SGSPARK_EXTRA_CONF",
+                                          "").split(";")):
+        k, _, v = kv.partition("=")
+        b = b.config(k.strip(), v.strip())
+    return b.getOrCreate()

@@ -2,7 +2,10 @@
 
 Pinned protocol (BENCH/SCALING_RUNS_KERNEL.md): local-cluster[1,4,3072]
 (N = 4 cores) vs local-cluster[4,4,3072] (4N = 16 cores), separate
-executor JVMs, SGSPARK_SHUFFLE_PARTITIONS=64 at both levels,
+executor JVMs, SGSPARK_SHUFFLE_PARTITIONS=128 at BOTH levels (round-5
+audit: bench.py had overridden the env pin since round 2, so earlier
+sessions effectively ran 16@4c / 32@16c; fixed, and 128 chosen so the
+pair stage runs >=8 waves at 16 cores — straggler amortization),
 SPARK_GRAFT_FORCE_KERNEL=1 (fully distributed join), 8M interleaved docs
 (SPARK_GRAFT_SCALE=1600) vs 15k zones, subprocess per run, min stat,
 PAIRED runs (4-core then 16-core back-to-back per pair).
@@ -31,7 +34,7 @@ BASE_ENV = {
     "SGSPARK_MASTER": "local-cluster",
     "SGSPARK_EXEC_CORES": "4",
     "SGSPARK_EXEC_MEM_MB": "3072",
-    "SGSPARK_SHUFFLE_PARTITIONS": "64",
+    "SGSPARK_SHUFFLE_PARTITIONS": "128",
     "SPARK_GRAFT_SCALE": "1600",
     "SPARK_GRAFT_FORCE_KERNEL": "1",
     "SPARK_GRAFT_ONLY": "spatial_pipeline",
