@@ -80,3 +80,52 @@ class TestDimFromSchema:
         want = vecs.select("vec_id",
                            F.expr(" + ".join(bits)).alias("b")).collect()
         assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+class TestApiTails:
+    def test_get_k_nearest_points_for_deadends(self, spark):
+        """Three horizontal lines; the middle line's right deadend has the
+        two other lines' segments nearby.  Brute-force oracle: nearest
+        point on each candidate segment, ranked by distance."""
+        from sgspark.io import wkt_to_wkb_df
+        from sgspark.network import get_k_nearest_points_for_deadends
+        lines = wkt_to_wkb_df(spark.createDataFrame(
+            [(0, "LINESTRING (0 0, 10 0)"),
+             (1, "LINESTRING (0 3, 11 3)"),
+             (2, "LINESTRING (0 -4, 12 -4)")],
+            "lid int, geometry_wkt string"))
+        out = get_k_nearest_points_for_deadends(lines, 2, 6.0).toPandas()
+        # every endpoint here is a deadend (6 nodes); check the node at
+        # (10, 0): nearest points are (10, 3) on line 1 (d=3) and
+        # (10, -4) on line 2 (d=4)
+        me = out[out.node == "10.0_0.0"].sort_values("k_rank")
+        assert len(me) == 2
+        assert me.iloc[0].distance == 3.0 and me.iloc[0].x == 10.0 \
+            and me.iloc[0].y == 3.0
+        assert me.iloc[1].distance == 4.0 and me.iloc[1].y == -4.0
+        # max_distance excludes: radius 2 leaves that deadend no candidate
+        out2 = get_k_nearest_points_for_deadends(lines, 2, 2.0).toPandas()
+        assert len(out2[out2.node == "10.0_0.0"]) == 0
+        # same-line segments never match their own deadend
+        assert not ((out.node == "0.0_0.0") & (out.y == 0.0)).any()
+
+    def test_random_points_norway(self, spark):
+        from sgspark.conversion import random_points_norway, _NORWAY_WKT
+        out = random_points_norway(spark, 50, seed=7)
+        pdf = out.toPandas()
+        assert len(pdf) == 50
+        # all points inside one of the three boundary polygons (verified
+        # with the repo's own PIP kernel)
+        from sgspark.geom.wkb import from_wkt
+        from sgspark.geom.predicates import points_in_polygon_geom
+        import numpy as np
+        ga = from_wkt(list(_NORWAY_WKT))
+        x, y = pdf.x.to_numpy(), pdf.y.to_numpy()
+        inside = np.zeros(len(pdf), dtype=bool)
+        for g in range(3):
+            inside |= points_in_polygon_geom(x, y, ga, g)
+        assert inside.all()
+        # deterministic for a given seed
+        again = random_points_norway(spark, 50, seed=7).toPandas()
+        assert sorted(map(tuple, pdf.values.tolist())) == \
+            sorted(map(tuple, again.values.tolist()))
