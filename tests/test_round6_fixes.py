@@ -129,3 +129,74 @@ class TestApiTails:
         again = random_points_norway(spark, 50, seed=7).toPandas()
         assert sorted(map(tuple, pdf.values.tolist())) == \
             sorted(map(tuple, again.values.tolist()))
+
+
+class TestRealImageDecode:
+    def test_png_roundtrip_all_filters_and_shapes(self):
+        import numpy as np
+        from sgspark.media import encode_png, decode_png, decode_ppm
+        rng = np.random.RandomState(0)
+        for shape in [(7, 5), (11, 13, 3), (6, 4, 4), (1, 1),
+                      (3, 200, 3), (40, 1), (2, 2, 2)]:
+            px = rng.randint(0, 256, shape).astype(np.uint8)
+            for fm in ("cycle", "none"):
+                out = decode_png(encode_png(px, filter_mode=fm))
+                want = px[:, :, None] if px.ndim == 2 else px
+                assert (out == want).all(), (shape, fm)
+        px = rng.randint(0, 256, (9, 7, 3)).astype(np.uint8)
+        assert (decode_ppm(b"P6\n7 9\n255\n" + px.tobytes()) == px).all()
+
+    def test_third_party_png_conformance(self):
+        """Decode PNGs encoded by OTHER encoders (shipped with the OS) —
+        guards against a symmetric encoder/decoder bug.  Known dims:
+        the git logo is 72x27 RGB, the Sphinx file icon 16x16 RGBA."""
+        import os
+        from sgspark.media import decode_png
+        fixtures = [("/usr/share/gitweb/static/git-logo.png", (27, 72, 3)),
+                    ("/usr/share/doc/python3/_static/file.png", (16, 16, 4))]
+        checked = 0
+        for path, shape in fixtures:
+            if not os.path.exists(path):
+                continue
+            px = decode_png(open(path, "rb").read())
+            assert px.shape == shape
+            assert px.max() == 255
+            checked += 1
+        if checked == 0:
+            import pytest
+            pytest.skip("no OS png fixtures on this box")
+
+    def test_unsupported_falls_back(self):
+        import pytest
+        from sgspark.media import real_decode
+        with pytest.raises(NotImplementedError):
+            real_decode(b"\xff\xd8\xffJPEG-ish")
+        with pytest.raises(ValueError):
+            real_decode(b"\x89PNG\r\n\x1a\nbroken")
+
+    def test_decode_image_stats_distributed(self, spark):
+        """Full Spark pipeline: synth -> encode -> real decode -> stats;
+        numpy recomputation as the oracle, plus the fake fallback for
+        an undecodable payload."""
+        import numpy as np
+        from pyspark.sql import functions as F
+        from sgspark.media import synth_images, decode_image_stats
+        ids = spark.range(40).select(F.col("id").alias("doc_id"))
+        out = decode_image_stats(synth_images(ids)).toPandas() \
+            .set_index("doc_id").sort_index()
+        for did in range(40):
+            w, h = 4 + did % 13, 4 + did % 11
+            c = 3 if did % 3 == 0 else 1
+            x, y, ch = np.arange(w), np.arange(h), np.arange(c)
+            v = (x[None, :, None] * 7 + y[:, None, None] * 13 +
+                 ch[None, None, :] * 17 + did * 31) % 256
+            r = out.loc[did]
+            assert (r.width, r.height, r.channels) == (w, h, c)
+            assert r.px_sum == v.sum() and r.px_min == v.min() \
+                and r.px_max == v.max()
+            assert r.media_kind == ("ppm" if did % 5 == 0 else "png")
+        # fake fallback path keeps the pipeline total
+        bad = spark.createDataFrame([(99, bytearray(b"JPEG?"))],
+                                    "doc_id long, payload binary")
+        fb = decode_image_stats(bad).collect()[0]
+        assert fb.media_kind == "fake" and fb.channels == 0
