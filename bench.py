@@ -114,6 +114,32 @@ def main():
         a = agg.collect()
         assert a[0]["n"] >= 0 and t is not None
 
+    def spatial_pipeline_ngon():
+        # high-vertex pack path (VERDICT r5 #5): 64-vertex star zones
+        # force the per-cover-cell edge-subset machinery through the
+        # fully-distributed join, so pack-path regressions are
+        # machine-tracked per round (PATH_SHARE should show jvm_polys_*;
+        # the square-zone spatial_pipeline rides jvm_rects instead).
+        # Doc side is a FIXED 200k synthetic points (like knn's cap) so
+        # the measured seconds are dominated by per-pair PIP evaluation
+        # over packed subsets, not by plan compile / pack fixed costs.
+        from sgspark.synth import synth_documents
+        zn = wkt_to_wkb_df(
+            zones_from_customer(spark, sf_dir, shape="ngon64")
+            .where("zone_id % 20 = 0")).cache()
+        zn.count()
+        p = extract_geometries(synth_documents(spark, 200_000)) \
+            .where("geom_kind = 'point' AND span_pos = 1")
+        pairs = sjoin_pairs(
+            p, zn, "within", left_id="doc_index", right_id="zone_id",
+            broadcast_right=False, assume_left_points=True)
+        agg = pairs.agg(F.count("*").alias("n"),
+                        F.expr("bit_xor(doc_index * 1000003 + zone_id)")
+                        .alias("chk"))
+        a = agg.collect()
+        zn.unpersist()
+        assert a[0]["n"] >= 0
+
     def gridloop_tiles():
         import pandas as pd
         from sgspark.tiling import gridloop
@@ -219,6 +245,7 @@ def main():
         timings["control"] = round(time.time() - t0, 3)
 
     all_queries = {"spatial_pipeline": spatial_pipeline,
+                   "spatial_pipeline_ngon": spatial_pipeline_ngon,
                    "gridloop_tiles": gridloop_tiles,
                    "knn": knn,
                    "near_dup": near_dup,

@@ -681,16 +681,43 @@ def _sjoin_pairs_broadcast(left: DataFrame, right: DataFrame, predicate: str,
 
 
 def _esz(E: str) -> str:
-    return f"size({E}ax)"
+    """Edge SLOT count of the chained-vertex pack: size(vx) - 1 (may be
+    -1/0 for empty packs — every consumer guards with `i <= sz`)."""
+    return f"(size({E}vx) - 1)"
 
 
 def _eacc(E: str, i) -> tuple[str, str, str, str]:
-    """Accessors for edge i (1-based) of the packed PRIMITIVE edge arrays
-    {E}ax/{E}ay/{E}bx/{E}by (array<double> each).  Primitive element_at is
-    a direct word load in codegen — the struct-array form re-extracted a
-    struct per field access and cost ~4x on concave workloads."""
-    return (f"element_at({E}ax, {i})", f"element_at({E}ay, {i})",
-            f"element_at({E}bx, {i})", f"element_at({E}by, {i})")
+    """Accessors for edge slot i (1-based) of the CHAINED-VERTEX pack
+    (round 6, VERDICT r5 #1): vertices {E}vx/{E}vy (array<double>), edge
+    i = (v[i], v[i+1]).  Consecutive boundary edges share their middle
+    vertex, so the pack ships ~2 doubles per edge instead of round 5's 4
+    — the pair stage was measured memory-bandwidth-bound on pack bytes
+    (BENCH/SCALING_R5_RAW.md task decomposition).  Values are the SAME
+    float64s the 4-array form carried (shared endpoints are bitwise
+    copies from the ring array), so every comparison downstream is
+    bit-identical.  Chain breaks (subset arcs, ring boundaries) insert a
+    CONNECTOR slot flagged in the {E}skip bitmask ({_eskip}); primitive
+    element_at stays a direct word load in codegen — the struct-array
+    form re-extracted a struct per field access and cost ~4x on concave
+    workloads (round 4)."""
+    j = f"{i} + 1" if isinstance(i, str) else i + 1
+    return (f"element_at({E}vx, {i})", f"element_at({E}vy, {i})",
+            f"element_at({E}vx, {j})", f"element_at({E}vy, {j})")
+
+
+def _eskip(E: str, i) -> str:
+    """TRUE when edge slot i (1-based) is a chain CONNECTOR (not a real
+    boundary edge): bit (i-1) of the packed {E}skip words (array<bigint>,
+    64 slots per word).  For unrolled literal i the word index and bit
+    position fold to constants; connectors are rare (one per extra arc),
+    so the guard is one AND over int ops per term."""
+    if isinstance(i, str):
+        w = f"(cast(({i} - 1) div 64 as int) + 1)"
+        b = f"cast(({i} - 1) % 64 as int)"
+    else:
+        w = (i - 1) // 64 + 1
+        b = (i - 1) % 64
+    return f"(bit_get(element_at({E}skip, {w}), {b}) = 1)"
 
 
 def _pip_sql(E: str, x: str, y: str, base: str = "0") -> str:
@@ -715,14 +742,16 @@ def _pip_sql(E: str, x: str, y: str, base: str = "0") -> str:
     ax, ay, bx, by = _eacc(E, "i")
     dot = f"(({x} - {ax}) * ({bx} - {ax}) + ({y} - {ay}) * ({by} - {ay}))"
     idx = f"sequence(1, {_esz(E)})"
+    ns = f"(NOT {_eskip(E, 'i')})"
     return (
-        f"((((size(filter({idx}, i -> (({ay} > {y}) != ({by} > {y})) AND "
+        f"((((size(filter({idx}, i -> {ns} AND "
+        f"(({ay} > {y}) != ({by} > {y})) AND "
         f"({x} < ({bx} - {ax}) * ({y} - {ay}) / ({by} - {ay}) + {ax}))) "
         f"+ {base}) % 2) = 1)"
-        f" OR exists({idx}, i -> "
-        f"(({bx} - {ax}) * ({y} - {ay}) - ({by} - {ay}) * ({x} - {ax})) = 0D"
+        f" OR exists({idx}, i -> {ns} AND "
+        f"((({bx} - {ax}) * ({y} - {ay}) - ({by} - {ay}) * ({x} - {ax})) = 0D"
         f" AND {dot} >= 0D AND {dot} <= "
-        f"(({bx} - {ax}) * ({bx} - {ax}) + ({by} - {ay}) * ({by} - {ay}))))")
+        f"(({bx} - {ax}) * ({bx} - {ax}) + ({by} - {ay}) * ({by} - {ay})))))")
 
 
 # Unroll bounds: polygons within a tier get a whole-stage-codegen PIP
@@ -744,15 +773,16 @@ def _pip_sql_unrolled(E: str, x: str, y: str,
     ins, ons = [], []
     for i in range(1, k + 1):
         ax, ay, bx, by = _eacc(E, i)
+        ns = f"(NOT {_eskip(E, i)})"
         ins.append(
-            f"(CASE WHEN ({i} <= {sz}) AND "
+            f"(CASE WHEN ({i} <= {sz}) AND {ns} AND "
             f"(({ay} > {y}) != ({by} > {y})) AND "
             f"({x} < ({bx} - {ax}) * ({y} - {ay}) / "
             f"({by} - {ay}) + {ax}) THEN 1 ELSE 0 END)")
         dot = (f"(({x} - {ax}) * ({bx} - {ax}) + "
                f"({y} - {ay}) * ({by} - {ay}))")
         ons.append(
-            f"(({i} <= {sz}) AND "
+            f"(({i} <= {sz}) AND {ns} AND "
             f"((({bx} - {ax}) * ({y} - {ay}) - "
             f"({by} - {ay}) * ({x} - {ax})) = 0D) AND "
             f"{dot} >= 0D AND {dot} <= "
@@ -795,12 +825,14 @@ def _point_poly_dist_sql(E: str, x: str, y: str, base: str = "0") -> str:
     def unroll(k):
         terms = []
         for i in range(1, k + 1):
-            terms.append(f"(CASE WHEN {i} <= {sz} "
+            terms.append(f"(CASE WHEN ({i} <= {sz}) AND "
+                         f"(NOT {_eskip(E, i)}) "
                          f"THEN {_dist2_term(_eacc(E, i), x, y)} "
                          f"ELSE {inf} END)")
         return f"least({', '.join(terms)})"
     lam = (f"aggregate(sequence(1, {sz}), {inf}, "
-           f"(acc, i) -> least(acc, {_dist2_term(_eacc(E, 'i'), x, y)}))")
+           f"(acc, i) -> least(acc, CASE WHEN {_eskip(E, 'i')} THEN {inf} "
+           f"ELSE {_dist2_term(_eacc(E, 'i'), x, y)} END))")
     d2 = (f"(CASE WHEN {sz} <= {PIP_UNROLL_SMALL} "
           f"THEN {unroll(PIP_UNROLL_SMALL)} "
           f"WHEN {sz} <= {PIP_UNROLL_EDGES} "
@@ -838,19 +870,51 @@ def _pip_dispatch_sql(E: str, x: str, y: str, isrect: str,
             f"ELSE {_pip_sql(E, x, y, base)} END")
 
 
-def _edge_cols_of(ga, skip_mask) -> tuple[list, list, list, list]:
-    """Per-geometry edge coordinates as FOUR primitive double lists
-    (ax, ay, bx, by) — the packed form the codegen PIP reads with direct
-    word loads.  Geometries flagged in `skip_mask` get empty lists."""
-    eax, eay, ebx, eby = [], [], [], []
-    for i, es in enumerate(_edge_rows_of(ga)):
-        if skip_mask[i] or not es:
-            eax.append([]); eay.append([]); ebx.append([]); eby.append([])
+def _skip_words(skip_slots: list, n_slots: int) -> list:
+    """Connector-slot bitmask as signed-int64 words (64 slots per word) —
+    the SQL side reads bit (i-1) via bit_get on two's-complement
+    bigints, so bit 63 wraps to the sign bit here."""
+    words = [0] * ((max(int(n_slots), 0) + 63) // 64)
+    for s in skip_slots:
+        words[s >> 6] |= 1 << (s & 63)
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+_CHAIN_COLS_SQL = ("__evx array<double>, __evy array<double>, "
+                   "__eskip array<bigint>")
+
+
+def _chain_cols_of(ga, skip_mask) -> tuple[list, list, list]:
+    """Per-geometry CHAINED vertex arrays (vx, vy, skip words): each ring
+    is one closed chain (its consecutive vertex pairs reproduce exactly
+    the edge set _edge_rows_of carried as 4 arrays, bit-for-bit); the
+    connector slot between rings is flagged in the skip mask.  Halves
+    pack bytes per edge vs the round-5 4-array form (VERDICT r5 #1).
+    Geometries flagged in `skip_mask` get empty arrays."""
+    vxs, vys, skips = [], [], []
+    for i in range(len(ga)):
+        if skip_mask[i]:
+            vxs.append([]); vys.append([]); skips.append([])
             continue
-        a, b, c, d = zip(*es)
-        eax.append(list(a)); eay.append(list(b))
-        ebx.append(list(c)); eby.append(list(d))
-    return eax, eay, ebx, eby
+        vx_parts, vy_parts, skip = [], [], []
+        nv = 0
+        for ring in ga.rings_of_geom(i):
+            if len(ring) < 2:
+                continue
+            if nv:
+                # connector = the implicit vertex pair across the ring
+                # boundary; it occupies slot nv-1 and adds no vertex
+                skip.append(nv - 1)
+            vx_parts.append(ring[:, 0])
+            vy_parts.append(ring[:, 1])
+            nv += len(ring)
+        if nv == 0:
+            vxs.append([]); vys.append([]); skips.append([])
+            continue
+        vxs.append(np.concatenate(vx_parts).tolist())
+        vys.append(np.concatenate(vy_parts).tolist())
+        skips.append(_skip_words(skip, nv - 1))
+    return vxs, vys, skips
 
 
 # ---------------------------------------------------------------------------
@@ -907,11 +971,11 @@ def _seg_cross_sql(E: str, sx, sy, tx, ty) -> str:
     sz = _esz(E)
 
     def unroll(k):
-        terms = [f"(({i} <= {sz}) AND "
+        terms = [f"(({i} <= {sz}) AND (NOT {_eskip(E, i)}) AND "
                  f"{_seg_touch_term(_eacc(E, i), sx, sy, tx, ty)})"
                  for i in range(1, k + 1)]
         return f"({' OR '.join(terms)})"
-    lam = (f"exists(sequence(1, {sz}), i -> "
+    lam = (f"exists(sequence(1, {sz}), i -> (NOT {_eskip(E, 'i')}) AND "
            f"{_seg_touch_term(_eacc(E, 'i'), sx, sy, tx, ty)})")
     return (f"(CASE WHEN {sz} <= {PIP_UNROLL_SMALL} "
             f"THEN {unroll(PIP_UNROLL_SMALL)} "
@@ -1069,22 +1133,21 @@ def _segments_vs_polygons_jvm(spark, left, rids, ra, rb, r_rect, *,
     # big segments x ALL rights, and remaining segments x big rights —
     # rare country-sized cases; correctness identical, interpreted tier
     def full_edge_df(idx):
-        eax, eay, ebx, eby = _edge_cols_of(ra, r_rect)
+        vx, vy, skips = _chain_cols_of(ra, r_rect)
         return F.broadcast(spark.createDataFrame(
             [(rids[i].item() if hasattr(rids[i], "item") else rids[i],
               bool(r_rect[i]), 0, False, 0.0, 0.0, float(g), float(g),
               0, 0, 0,
               float(rb[i, 0]), float(rb[i, 1]),
               float(rb[i, 2]), float(rb[i, 3]),
-              eax[i], eay[i], ebx[i], eby[i]) for i in idx],
+              vx[i], vy[i], skips[i]) for i in idx],
             schema=(f"__rid {rid_t}, __isrect boolean, __base int, "
                     "__vert boolean, __cx0 double, __cy0 double, "
                     "__swx double, __swy double, "
                     "__si int, __sj int, __km1 int, "
                     "__rminx double, __rminy double, "
                     "__rmaxx double, __rmaxy double, "
-                    "__eax array<double>, __eay array<double>, "
-                    "__ebx array<double>, __eby array<double>")))
+                    + _CHAIN_COLS_SQL)))
 
     def bbox_branch(seg_df, right_df):
         c = seg_df.crossJoin(right_df) \
@@ -1215,7 +1278,7 @@ def _polys_vs_polys_jvm(spark, left, rids, ra, rb, r_rect, *, left_id,
 _COVER_COLS = ["__rid", "cell_key", "__rminx", "__rminy", "__rmaxx",
                "__rmaxy", "__isrect", "__base", "__vert",
                "__cx0", "__cy0", "__swx", "__swy", "__si", "__sj", "__km1",
-               "__eax", "__eay", "__ebx", "__eby"]
+               "__evx", "__evy", "__eskip"]
 
 _COVER_SCHEMA_TAIL = (", cell_key bigint, "
                       "__rminx double, __rminy double, "
@@ -1224,8 +1287,7 @@ _COVER_SCHEMA_TAIL = (", cell_key bigint, "
                       "__cx0 double, __cy0 double, "
                       "__swx double, __swy double, "
                       "__si int, __sj int, __km1 int, "
-                      "__eax array<double>, __eay array<double>, "
-                      "__ebx array<double>, __eby array<double>")
+                      + _CHAIN_COLS_SQL)
 
 # join-side subcell assignment: each candidate point lands in exactly ONE
 # (si, sj) of its cell's K x K subdivision of the cell ∩ expanded-bbox
@@ -1353,8 +1415,8 @@ def _pack_cover_rows(edge_rows, rids, bounds, is_rect, g: float,
             "__cx0": np.zeros(len(src)), "__cy0": np.zeros(len(src)),
             "__swx": np.full(len(src), g), "__swy": np.full(len(src), g),
             "__si": zi, "__sj": zi, "__km1": zi,
-            "__eax": empty, "__eay": list(empty), "__ebx": list(empty),
-            "__eby": list(empty)}, columns=_COVER_COLS))
+            "__evx": empty, "__evy": list(empty),
+            "__eskip": list(empty)}, columns=_COVER_COLS))
     rows: list[tuple] = []
     for i in np.nonzero(~noedge)[0].tolist():
         cxs = np.repeat(np.arange(cx0s[i], cx1s[i] + 1),
@@ -1369,6 +1431,11 @@ def _pack_cover_rows(edge_rows, rids, bounds, is_rect, g: float,
         ax, ay, bx, by = ea[:, 0], ea[:, 1], ea[:, 2], ea[:, 3]
         ext = (np.minimum(ax, bx), np.maximum(ax, bx),
                np.minimum(ay, by), np.maximum(ay, by))
+        # edge adjacency for the chained-vertex pack (round 6): edge j
+        # chains onto j+1 when they share the middle vertex bitwise
+        # (always true for consecutive edges of one ring — both floats
+        # are copies of the same ring coordinate)
+        adj = (bx[:-1] == ax[1:]) & (by[:-1] == ay[1:])
         clx0 = cxs * g - FALSE_EASTING               # cell rects (C,)
         cly0 = cys * g
         # round 1: cell-level subsets (dwithin rule when e > 0: no
@@ -1379,24 +1446,54 @@ def _pack_cover_rows(edge_rows, rids, bounds, is_rect, g: float,
         # variant packs swapped coordinates so one SQL form serves both)
         keep, base, vert = _rect_subsets(ext, clx0, clx0 + g,
                                          cly0, cly0 + g, m, e)
-        sizes = keep.sum(axis=1)
+
+        def slot_counts(keep_m):
+            # SLOTS of the chained pack: kept edges + one connector per
+            # extra arc = 2*kept - chained_pairs - 1 (0 when empty) —
+            # the tier decisions below size rows by what the SQL will
+            # actually see as size(vx) - 1
+            kept = keep_m.sum(axis=1)
+            chained = (keep_m[:, :-1] & keep_m[:, 1:]
+                       & adj[None, :]).sum(axis=1)
+            return np.maximum(2 * kept - chained - 1, 0)
+
+        sizes = slot_counts(keep)
 
         def emit(j_key, krow, brow, vrow, cx0v, cy0v, swxv, swyv,
                  siv, sjv, km1v, rect=None):
             idx = np.nonzero(krow)[0]
             if len(idx) == 0 and brow == 0:
                 return  # no point in this region can match: prune the row
-            if vrow:
-                exa, eya, exb, eyb = ay[idx], ax[idx], by[idx], bx[idx]
+            if len(idx):
+                cont = (np.diff(idx) == 1) & adj[idx[:-1]]
+                bks = np.nonzero(~cont)[0]
+                starts = np.concatenate(([0], bks + 1))
+                ends = np.concatenate((bks, [len(idx) - 1]))
+                vx_parts, vy_parts, skip = [], [], []
+                nv = 0
+                for s, t in zip(starts.tolist(), ends.tolist()):
+                    if nv:
+                        skip.append(nv - 1)  # connector slot, no vertex
+                    run = idx[s:t + 1]
+                    vx_parts.append(ax[run[:1]])
+                    vx_parts.append(bx[run])
+                    vy_parts.append(ay[run[:1]])
+                    vy_parts.append(by[run])
+                    nv += len(run) + 1
+                vx = np.concatenate(vx_parts)
+                vy = np.concatenate(vy_parts)
+                words = _skip_words(skip, nv - 1)
+                if vrow:
+                    vx, vy = vy, vx
+                vxl, vyl = vx.tolist(), vy.tolist()
             else:
-                exa, eya, exb, eyb = ax[idx], ay[idx], bx[idx], by[idx]
+                vxl, vyl, words = [], [], []
             rows.append((rids[i], int(j_key), *(rect or rb), False,
                          int(brow),
                          bool(vrow), float(cx0v), float(cy0v),
                          float(swxv), float(swyv),
                          int(siv), int(sjv), int(km1v),
-                         exa.tolist(), eya.tolist(),
-                         exb.tolist(), eyb.tolist()))
+                         vxl, vyl, words))
 
         for j in range(len(keys)):
             if sizes[j] <= PIP_UNROLL_EDGES:
@@ -1429,7 +1526,7 @@ def _pack_cover_rows(edge_rows, rids, bounds, is_rect, g: float,
                 rx1, ry1 = rx0 + swx, ry0 + swy
                 ks, bs, vs = _rect_subsets(ext, rx0, rx1, ry0, ry1, m, e)
                 if (K >= _SUBCELL_MAX_K or
-                        int(ks.sum(axis=1).max()) <= PIP_UNROLL_EDGES):
+                        int(slot_counts(ks).max()) <= PIP_UNROLL_EDGES):
                     break
                 K = min(K * 2, _SUBCELL_MAX_K)
             for t in range(len(rx0)):
@@ -1691,8 +1788,7 @@ def _points_vs_polygons_jvm(spark, left, rids, ra, rb, *, left_id,
         f" + cast(floor(__y / {g}) as bigint)"))
     pair_cols = [F.col(left_id), F.col("__rid"), F.col("__x"), F.col("__y"),
                  F.col("__isrect"), F.col("__base"), F.col("__vert"),
-                 F.col("__eax"), F.col("__eay"),
-                 F.col("__ebx"), F.col("__eby")]
+                 F.col("__evx"), F.col("__evy"), F.col("__eskip")]
     cand = l.join(F.broadcast(rcells), "cell_key") \
         .where((F.col("__x") >= F.col("__rminx")) &
                (F.col("__x") <= F.col("__rmaxx")) &
@@ -1704,22 +1800,21 @@ def _points_vs_polygons_jvm(spark, left, rids, ra, rb, *, left_id,
         # country-sized rights: plain bbox theta-join with FULL edge
         # arrays (no cell to subset by), base parity 0
         bg = np.nonzero(~small)[0]
-        eax, eay, ebx, eby = _edge_cols_of(ra, r_rect)
+        vx, vy, skips = _chain_cols_of(ra, r_rect)
         big_df = F.broadcast(spark.createDataFrame(
             [(rids[i].item() if hasattr(rids[i], "item") else rids[i],
               bool(r_rect[i]), 0, False, 0.0, 0.0, float(g), float(g),
               0, 0, 0,
               float(rb[i, 0] - expand), float(rb[i, 1] - expand),
               float(rb[i, 2] + expand), float(rb[i, 3] + expand),
-              eax[i], eay[i], ebx[i], eby[i]) for i in bg],
+              vx[i], vy[i], skips[i]) for i in bg],
             schema=(f"__rid {rid_t}, __isrect boolean, __base int, "
                     "__vert boolean, __cx0 double, __cy0 double, "
                     "__swx double, __swy double, "
                     "__si int, __sj int, __km1 int, "
                     "__rminx double, __rminy double, "
                     "__rmaxx double, __rmaxy double, "
-                    "__eax array<double>, __eay array<double>, "
-                    "__ebx array<double>, __eby array<double>")))
+                    + _CHAIN_COLS_SQL)))
         cand = cand.unionByName(
             l.crossJoin(big_df)
             .where((F.col("__x") >= F.col("__rminx")) &

@@ -224,17 +224,25 @@ def documents_with_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         gen, schema=DOC_SCHEMA)
 
 
-def zones_from_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zones_from_customer(spark: SparkSession, sf_dir: str,
+                        shape: str | None = None) -> DataFrame:
     """Zone layer derived from the customer table (key = c_custkey), same
-    formulas as synth_zones so the SQL oracle twin applies."""
+    formulas as synth_zones so the SQL oracle twin applies.  `shape`:
+    None (env-driven: SGSPARK_NGON_ZONES=n / SGSPARK_CONCAVE_ZONES=1,
+    default squares), "square", "lshape", or "ngon<N>"."""
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
 
     import os
-    ngon = int(os.environ.get("SGSPARK_NGON_ZONES", "0"))
+    if shape is None:
+        ngon = int(os.environ.get("SGSPARK_NGON_ZONES", "0"))
+        lsh = os.environ.get("SGSPARK_CONCAVE_ZONES") == "1"
+    else:
+        ngon = int(shape[4:]) if shape.startswith("ngon") else 0
+        lsh = shape == "lshape"
     if ngon:
         def shape_fn(a, b, c):
             return zone_ngon_wkt(a, b, c, ngon)
-    elif os.environ.get("SGSPARK_CONCAVE_ZONES") == "1":
+    elif lsh:
         shape_fn = zone_lshape_wkt
     else:
         shape_fn = zone_square_wkt

@@ -274,19 +274,38 @@ def test_cell_subsets_are_small(spark):
     b = ga.bounds()
     pdf = _pack_cover_rows(_edge_rows_of(ga), np.array([0]), b,
                            np.array([False]), 4.0, 0.0)
-    sizes = pdf["__eax"].map(len)
+
+    def real_edges(row):
+        # decode the round-6 chained-vertex pack: edge k (0-based) =
+        # (v[k], v[k+1]) unless bit k of the skip words marks a connector
+        vx = np.asarray(row["__evx"])
+        vy = np.asarray(row["__evy"])
+        n = max(len(vx) - 1, 0)
+        w = list(row["__eskip"])
+        keep = [not ((w[k >> 6] >> (k & 63)) & 1) for k in range(n)]
+        ks = [k for k in range(n) if keep[k]]
+        return (vx[ks], vy[ks],
+                vx[[k + 1 for k in ks]], vy[[k + 1 for k in ks]])
+
+    sizes = pdf["__evx"].map(lambda v: max(len(v) - 1, 0))
     # EVERY row rides the codegen tiers: big-subset cells subdivide KxK
-    # (round-5 subcell refinement), so no interpreted fallback remains
+    # (round-5 subcell refinement), so no interpreted fallback remains —
+    # sizes are SLOTS (kept edges + rare connectors) in the chained pack
     assert sizes.max() <= 32
     assert len(pdf) > 30              # many cover cells at g=4
     assert pdf["__vert"].any()        # orientation choice engaged
     assert (pdf["__km1"] > 0).any()   # subdivision engaged somewhere
+    # chaining is the point: bytes per row ~ half the 4-array form
+    # (vertices ~ edges + arcs, not 2 doubles per edge per coordinate)
+    n_real = sum(len(real_edges(pdf.iloc[j])[0]) for j in range(len(pdf)))
+    n_vert = int(pdf["__evx"].map(len).sum())
+    assert n_vert <= 1.25 * n_real + 2 * len(pdf)
     # a polygon FULLY INSIDE one huge cell (coarse gridsize — the shape
     # of the ngon bench regression) must also compile: subcells shrink
     # its 200-edge subset below the tier
     p1 = _pack_cover_rows(_edge_rows_of(ga), np.array([0]), b,
                           np.array([False]), 50000.0, 0.0)
-    assert p1["__eax"].map(len).max() <= 32
+    assert p1["__evx"].map(lambda v: max(len(v) - 1, 0)).max() <= 32
     assert (p1["__km1"] > 0).all()
     # base-parity folding engages on LONG band-spanning edges — the
     # C-shape's right wall spans every band, so cells in its bbox notch
@@ -311,10 +330,7 @@ def test_cell_subsets_are_small(spark):
     ri = np.zeros(len(pdf), dtype=np.int64)
     truth = refine_pairs(pts_ga, ga, li, ri, "within")
     for j in range(len(pdf)):
-        axs = np.array(pdf["__eax"].iloc[j])
-        ays = np.array(pdf["__eay"].iloc[j])
-        bxs = np.array(pdf["__ebx"].iloc[j])
-        bys = np.array(pdf["__eby"].iloc[j])
+        axs, ays, bxs, bys = real_edges(pdf.iloc[j])
         x, y = centers_x[j], centers_y[j]
         if pdf["__vert"].iloc[j]:
             x, y = y, x  # vertical-ray cells pack swapped coordinates
