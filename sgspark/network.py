@@ -881,3 +881,199 @@ def get_component_size(edges: DataFrame) -> DataFrame:
         F.col("cluster").alias("component_index"),
         "component_size")
     return edges.join(src_info, "source")
+
+
+class NetworkAnalysis:
+    """The reference's stateful analysis facade (`NetworkAnalysis`,
+    networkanalysis.py:35-1352) as a THIN wrapper over the engine's
+    distributed route functions: holds (network, rules), caches the
+    prepared edge table keyed by `rules.rules_hash()` (the reference's
+    lazy graph-rebuild seam, networkanalysis.py:1546-1604), snaps point
+    origins/destinations to network nodes within
+    `rules.search_tolerance`, and appends one row per run to the `.log`
+    pandas DataFrame (reference _runlog, networkanalysis.py:1281-1352).
+
+    Origins/destinations: DataFrames with either a `node` column
+    (pre-snapped, used as-is) or point rows (id + geometry/minx/miny),
+    snapped to the nearest network node like the reference's
+    search_tolerance semantics.  Methods return DataFrames; because the
+    log records result statistics (count, percent_missing, cost_mean),
+    each call materializes its result (the reference is eager too)."""
+
+    def __init__(self, network: DataFrame,
+                 rules: "NetworkAnalysisRules | dict",
+                 log: bool = True, detailed_log: bool = False):
+        import pandas as _pd
+        if isinstance(rules, dict):
+            rules = NetworkAnalysisRules(**rules)
+        self.network = network
+        self.rules = rules
+        self._log_enabled = bool(log)
+        self.detailed_log = bool(detailed_log)
+        self.log = _pd.DataFrame()
+        self._prepared: tuple[str, DataFrame] | None = None
+
+    # ---- graph cache -------------------------------------------------
+    def _edges(self) -> DataFrame:
+        """Prepared edge table, rebuilt only when the rules hash changes
+        (rules are mutable, like the reference's `nwa.rules.weight = …`)."""
+        h = self.rules.rules_hash()
+        if self._prepared is not None and self._prepared[0] == h:
+            return self._prepared[1]
+        e = self.network
+        if not {"source", "target"} <= set(e.columns):
+            e = make_node_ids(e)
+        if self.rules.split_lines:
+            from .line_ops import cut_lines
+            e = make_node_ids(cut_lines(
+                e.drop("source", "target", "length"),
+                float(self.rules.search_tolerance)))
+        self.rules.validate(e)
+        e = e.localCheckpoint()
+        self._prepared = (h, e)
+        return e
+
+    def _nodes_xy(self, e: DataFrame) -> DataFrame:
+        return (e.select(F.col("source").alias("node"))
+                .unionByName(e.select(F.col("target").alias("node")))
+                .distinct()
+                .withColumn("x", F.expr(
+                    "cast(split(node, '_')[0] as double)"))
+                .withColumn("y", F.expr(
+                    "cast(split(node, '_')[1] as double)")))
+
+    def _snap(self, pts: DataFrame, e: DataFrame, id_col: str,
+              out_id: str) -> DataFrame:
+        """(out_id, node): pass-through when a node column exists, else
+        nearest network node within search_tolerance (reference
+        search_tolerance snapping)."""
+        if "node" in pts.columns:
+            return pts.select(F.col(id_col).alias(out_id), "node")
+        from .knn import get_k_nearest_neighbors
+        p = pts.select(F.col(id_col).alias(out_id),
+                       F.col("minx").alias("x"), F.col("miny").alias("y"))
+        tol = float(self.rules.search_tolerance)
+        nn = get_k_nearest_neighbors(p, self._nodes_xy(e), 1,
+                                     left_id=out_id, right_id="node",
+                                     gridsize=max(tol, 1.0))
+        return nn.where(F.col("distance") <= tol) \
+                 .select(out_id, F.col("neighbor_index").alias("node"))
+
+    # ---- log ----------------------------------------------------------
+    def _runlog(self, method: str, res_pdf, t0: float, *,
+                n_orig: int, n_dest, cost_col: str | None) -> None:
+        if not self._log_enabled:
+            return
+        import time as _time
+        import datetime as _dt
+        import pandas as _pd
+        row = {
+            "endtime": _dt.datetime.now().replace(microsecond=0),
+            "minutes_elapsed": round((_time.time() - t0) / 60, 3),
+            "method": method,
+            "origins_count": n_orig,
+            "destinations_count": n_dest,
+            "percent_missing": _pd.NA,
+            "cost_mean": _pd.NA,
+        }
+        if cost_col is not None and cost_col in res_pdf.columns:
+            col = res_pdf[cost_col]
+            row["percent_missing"] = float(col.isna().mean() * 100) \
+                if len(col) else 100.0
+            row["cost_mean"] = float(col.mean()) if col.notna().any() \
+                else _pd.NA
+        if self.detailed_log:
+            for k, v in vars(self.rules).items():
+                if not k.startswith("_"):
+                    row[k] = v
+        self.log = _pd.concat([self.log, _pd.DataFrame([row])],
+                              ignore_index=True)
+
+    # ---- analyses ------------------------------------------------------
+    def _od_inputs(self, origins, destinations):
+        e = self._edges()
+        o = self._snap(origins, e, origins.columns[0], "oid")
+        d = self._snap(destinations, e, destinations.columns[0], "did") \
+            if destinations is not None else None
+        return e, o, d
+
+    def od_cost_matrix(self, origins: DataFrame, destinations: DataFrame,
+                       *, max_iter: int = 50) -> DataFrame:
+        import time as _time
+        t0 = _time.time()
+        e, o, d = self._od_inputs(origins, destinations)
+        out = od_cost_matrix(e, o, d, weight=self.rules.weight,
+                             directed=self.rules.directed,
+                             max_iter=max_iter).localCheckpoint()
+        self._runlog("od_cost_matrix", out.toPandas(), t0,
+                     n_orig=o.count(), n_dest=d.count(), cost_col="cost")
+        return out
+
+    def get_route(self, origins: DataFrame, destinations: DataFrame,
+                  *, max_iter: int = 50) -> DataFrame:
+        import time as _time
+        t0 = _time.time()
+        e, o, d = self._od_inputs(origins, destinations)
+        out = get_route(e, o, d, weight=self.rules.weight,
+                        directed=self.rules.directed,
+                        max_iter=max_iter).localCheckpoint()
+        self._runlog("get_route", out.toPandas(), t0,
+                     n_orig=o.count(), n_dest=d.count(), cost_col="cost")
+        return out
+
+    def get_k_routes(self, origins: DataFrame, destinations: DataFrame,
+                     *, k: int = 3, drop_middle_percent: int = 0,
+                     max_iter: int = 50) -> DataFrame:
+        import time as _time
+        t0 = _time.time()
+        e, o, d = self._od_inputs(origins, destinations)
+        out = get_k_routes(e, o, d, int(k), weight=self.rules.weight,
+                           directed=self.rules.directed,
+                           max_iter=max_iter).localCheckpoint()
+        self._runlog("get_k_routes", out.toPandas(), t0,
+                     n_orig=o.count(), n_dest=d.count(), cost_col="cost")
+        return out
+
+    def get_route_frequencies(self, origins: DataFrame,
+                              destinations: DataFrame, *,
+                              max_iter: int = 50) -> DataFrame:
+        import time as _time
+        t0 = _time.time()
+        e, o, d = self._od_inputs(origins, destinations)
+        out = get_route_frequencies(
+            e, o, d, weight=self.rules.weight,
+            directed=self.rules.directed,
+            max_iter=max_iter).localCheckpoint()
+        self._runlog("get_route_frequencies", out.toPandas(), t0,
+                     n_orig=o.count(), n_dest=d.count(), cost_col=None)
+        return out
+
+    def service_area(self, origins: DataFrame, breaks: float, *,
+                     max_iter: int = 50) -> DataFrame:
+        import time as _time
+        t0 = _time.time()
+        e, o, _ = self._od_inputs(origins, None)
+        out = service_area_nodes(e, o, float(breaks),
+                                 weight=self.rules.weight,
+                                 directed=self.rules.directed,
+                                 max_iter=max_iter).localCheckpoint()
+        self._runlog("service_area", out.toPandas(), t0,
+                     n_orig=o.count(), n_dest=None, cost_col="cost")
+        return out
+
+    def precice_service_area(self, origins: DataFrame, breaks: float, *,
+                             max_iter: int = 50) -> DataFrame:
+        import time as _time
+        t0 = _time.time()
+        e, o, _ = self._od_inputs(origins, None)
+        out = service_area_edges(e, o, float(breaks),
+                                 weight=self.rules.weight,
+                                 directed=self.rules.directed,
+                                 max_iter=max_iter).localCheckpoint()
+        self._runlog("precice_service_area", out.toPandas(), t0,
+                     n_orig=o.count(), n_dest=None, cost_col=None)
+        return out
+
+    def __repr__(self) -> str:
+        return (f"NetworkAnalysis(weight={self.rules.weight!r}, "
+                f"directed={self.rules.directed}, runs={len(self.log)})")
