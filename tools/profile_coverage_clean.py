@@ -49,11 +49,12 @@ def main():
     mark("close_thin_holes", t0)
 
     t0 = time.time()
-    gaps = with_bounds(
-        get_gaps(cur, id_col=id_col, gridsize=gridsize).select("geometry"))
+    # round 6: gap geometry + bounds + thinness come out of ONE fused pass
+    gaps = get_gaps(cur, id_col=id_col, gridsize=gridsize,
+                    bounds=True, thin_tolerance=tolerance)
     gaps = gaps.withColumn(
         id_col, -(F.abs(F.xxhash64("geometry")) + F.lit(1)))
-    thin_gaps = (_thin_flag(gaps, tolerance).where("__thin")
+    thin_gaps = (gaps.where("__thin")
                  .select(id_col, "geometry", "minx", "miny", "maxx", "maxy")
                  .localCheckpoint())
     n_gaps = thin_gaps.count()
@@ -62,15 +63,18 @@ def main():
     t0 = time.time()
     filled = eliminate_by_longest(cur, thin_gaps, id_col=id_col,
                                   gridsize=gridsize)
-    filled = filled.where(F.col(id_col) >= 0).localCheckpoint()
-    mark("eliminate_by_longest", t0)
-
-    t0 = time.time()
-    filled = with_bounds(filled.select(id_col, *attrs, "geometry"))
-    ranked = filled.join(_with_area(filled, id_col), id_col) \
+    filled = filled.where(F.col(id_col) >= 0)
+    # round 6: ranked is the single materialization barrier (fused
+    # bounds+area kernel), so this mark covers eliminate + rank build
+    from sgspark.cleaning import _bounds_and_area
+    ranked = _bounds_and_area(filled.select(id_col, *attrs, "geometry")) \
         .withColumn("__rank", F.struct((-F.col("__area")).alias("na"),
                                        F.col(id_col).alias("tid"))) \
-        .drop("__area")
+        .drop("__area").localCheckpoint()
+    ranked.count()
+    mark("eliminate+rank", t0)
+
+    t0 = time.time()
     deduped = update_geometries(ranked, id_col=id_col, rank_col="__rank",
                                 gridsize=gridsize).drop("__rank") \
         .localCheckpoint()
