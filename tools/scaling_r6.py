@@ -35,6 +35,10 @@ BASE_ENV = {
     "SPARK_GRAFT_FORCE_KERNEL": "1",
     "SPARK_GRAFT_ONLY": "spatial_pipeline",
     "SPARK_GRAFT_SF_DIR": "/root/testdata/sf0.1",
+    # event logs ALWAYS on (round-5 audit rule): effective stage width is
+    # verifiable from the recorded stages, not the harness's intent
+    "SGSPARK_EXTRA_CONF": ("spark.eventLog.enabled=true;"
+                           "spark.eventLog.dir=file:///tmp/ev_r6"),
 }
 
 VARIANTS = {
