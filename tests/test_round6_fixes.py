@@ -200,3 +200,72 @@ class TestRealImageDecode:
                                     "doc_id long, payload binary")
         fb = decode_image_stats(bad).collect()[0]
         assert fb.media_kind == "fake" and fb.channels == 0
+
+
+class TestChainedPackConnectors:
+    """The chained-vertex pack's skip mask, probed at its adversarial
+    corner: a point EXACTLY ON the connector segment between two arcs
+    must not read as on-boundary (crossing/on-edge/distance must all
+    ignore connector slots) — in the unrolled codegen tiers AND the
+    interpreted lambda fallback."""
+
+    def _df(self, spark, vx, vy, skip_words):
+        probes = [(10.0, 5.0, False), (5.0, 0.0, True), (3.0, 7.0, False)]
+        rows = [(px, py, False, 0, False, vx, vy, skip_words, want)
+                for px, py, want in probes]
+        return spark.createDataFrame(
+            rows, "__px double, __py double, __isrect boolean, __base int,"
+                  " __vert boolean, __evx array<double>,"
+                  " __evy array<double>, __eskip array<bigint>,"
+                  " want boolean")
+
+    @staticmethod
+    def _words(skip_slots, n_slots):
+        from sgspark.joins import _skip_words
+        return _skip_words(skip_slots, n_slots)
+
+    def test_unrolled_tier_skips_connectors(self, spark):
+        from pyspark.sql import functions as F
+        from sgspark.joins import _pip_dispatch_sql, _point_poly_dist_sql
+        # two horizontal edges of the unit-10 square, vertical sides NOT
+        # packed: (0,0)-(10,0), connector slot 1, (10,10)-(0,10).  Probe
+        # (10,5) lies exactly ON the connector segment.
+        vx, vy = [0.0, 10.0, 10.0, 0.0], [0.0, 0.0, 10.0, 10.0]
+        df = self._df(spark, vx, vy, self._words([1], 3))
+        got = df.withColumn("pip", F.expr(_pip_dispatch_sql(
+            "__e", "__px", "__py", "__isrect", "__base"))) \
+            .withColumn("dist", F.expr(_point_poly_dist_sql(
+                "__e", "__px", "__py", "__base"))).collect()
+        for r in got:
+            assert r["pip"] == r["want"], (r["__px"], r["__py"])
+        d = {(r["__px"], r["__py"]): r["dist"] for r in got}
+        # distance ignores the connector: (10,5) is 5 from both real
+        # edges, NOT 0 (the connector distance)
+        assert d[(10.0, 5.0)] == 5.0
+        assert d[(5.0, 0.0)] == 0.0
+
+    def test_interpreted_fallback_skips_connectors(self, spark):
+        from pyspark.sql import functions as F
+        from sgspark.joins import _pip_sql, _point_poly_dist_sql
+        # same shape padded with 18 far-away single-edge arcs so slots
+        # exceed the 32-term tier -> the interpreted lambda evaluates;
+        # connectors land on the odd 0-based slots
+        vx, vy, skip = [0.0, 10.0], [0.0, 0.0], []
+        for k in range(18):
+            skip.append(len(vx) - 1)
+            vx += [1000.0 + k, 1001.0 + k]
+            vy += [1000.0, 1001.0]
+        skip.append(len(vx) - 1)
+        vx += [10.0, 0.0]
+        vy += [10.0, 10.0]
+        slots = len(vx) - 1
+        assert slots > 32
+        df = self._df(spark, vx, vy, self._words(skip, slots))
+        got = df.withColumn("pip", F.expr(
+            "(" + _pip_sql("__e", "__px", "__py", "__base") + ")")) \
+            .withColumn("dist", F.expr(_point_poly_dist_sql(
+                "__e", "__px", "__py", "__base"))).collect()
+        for r in got:
+            assert r["pip"] == r["want"], (r["__px"], r["__py"])
+        d = {(r["__px"], r["__py"]): r["dist"] for r in got}
+        assert d[(10.0, 5.0)] == 5.0
