@@ -62,8 +62,17 @@ def main():
     # distributed join — the plan should show the chained-vertex pack
     # columns (__evx/__evy/__eskip) flowing into the compiled PIP
     # residual, with the AQE-exempt repartition on both sides
-    ngon = wkt_to_wkb_df(zones_from_customer(spark, SF, shape="ngon64"))
-    pip_ngon = sjoin_pairs(pts, ngon, "within", left_id="doc_index",
+    # sf0.1 world: at sf0.01 the tuned cell grid is so fine relative to
+    # the 2000-unit star radii that the cover cap routes to the kernel
+    # (correct, just not the plan under audit)
+    SF1 = "/root/testdata/sf0.1"
+    pts1 = extract_geometries(documents_with_spans(spark, SF1)) \
+        .where("geom_kind = 'point' AND span_pos = 1")
+    # right side materialized (like bench's cached zones): the
+    # distributed path's type probe only runs over python-free plans
+    ngon = wkt_to_wkb_df(zones_from_customer(spark, SF1, shape="ngon64")) \
+        .localCheckpoint()
+    pip_ngon = sjoin_pairs(pts1, ngon, "within", left_id="doc_index",
                            right_id="zone_id", broadcast_right=False,
                            assume_left_points=True)
     sections.append(("PIP sjoin — 64-gon rights, distributed pack path: "
