@@ -269,3 +269,55 @@ class TestChainedPackConnectors:
             assert r["pip"] == r["want"], (r["__px"], r["__py"])
         d = {(r["__px"], r["__py"]): r["dist"] for r in got}
         assert d[(10.0, 5.0)] == 5.0
+
+
+class TestPngVariantDecodes:
+    """Color types the synth/roundtrip tests don't reach: palette (3,
+    with and without tRNS) and gray+alpha (4) — PNG bytes handcrafted
+    from the spec, decoded by the engine's zlib+numpy path."""
+
+    @staticmethod
+    def _png(ihdr_color, raws, plte=None, trns=None, w=3, h=2):
+        import struct
+        import zlib
+
+        def chunk(tag, body):
+            return (struct.pack(">I", len(body)) + tag + body +
+                    struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+        out = b"\x89PNG\r\n\x1a\n"
+        out += chunk(b"IHDR", struct.pack(
+            ">IIBBBBB", w, h, 8, ihdr_color, 0, 0, 0))
+        if plte is not None:
+            out += chunk(b"PLTE", plte)
+        if trns is not None:
+            out += chunk(b"tRNS", trns)
+        out += chunk(b"IDAT", zlib.compress(raws))
+        out += chunk(b"IEND", b"")
+        return out
+
+    def test_palette_png(self):
+        import numpy as np
+        from sgspark.media import decode_png
+        plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # R, G, B
+        raws = bytes([0, 0, 1, 2]) + bytes([0, 2, 1, 0])  # filter0 rows
+        px = decode_png(self._png(3, raws, plte=plte))
+        assert px.shape == (2, 3, 3)
+        assert (px[0, 0] == [255, 0, 0]).all()
+        assert (px[0, 1] == [0, 255, 0]).all()
+        assert (px[1, 0] == [0, 0, 255]).all()
+        # with tRNS: alpha channel appended, index 0 transparent
+        px2 = decode_png(self._png(3, raws, plte=plte,
+                                   trns=bytes([0])))
+        assert px2.shape == (2, 3, 4)
+        assert px2[0, 0, 3] == 0 and px2[0, 1, 3] == 255
+
+    def test_gray_alpha_png(self):
+        from sgspark.media import decode_png
+        # 3x2 gray+alpha, filter 0: (gray, alpha) pairs
+        row0 = bytes([0, 10, 255, 128, 20, 99])
+        row1 = bytes([7, 0, 8, 1, 9, 2])
+        px = decode_png(self._png(4, bytes([0]) + row0 + bytes([0]) + row1))
+        assert px.shape == (2, 3, 2)
+        assert px[0, 1, 0] == 255 and px[0, 1, 1] == 128
+        assert px[1, 2, 0] == 9 and px[1, 2, 1] == 2
