@@ -211,13 +211,14 @@ class TestChainedPackConnectors:
 
     def _df(self, spark, vx, vy, skip_words):
         probes = [(10.0, 5.0, False), (5.0, 0.0, True), (3.0, 7.0, False)]
-        rows = [(px, py, False, 0, False, vx, vy, skip_words, want)
+        sk0 = skip_words[0] if skip_words else 0
+        rows = [(px, py, False, 0, False, vx, vy, skip_words, sk0, want)
                 for px, py, want in probes]
         return spark.createDataFrame(
             rows, "__px double, __py double, __isrect boolean, __base int,"
                   " __vert boolean, __evx array<double>,"
                   " __evy array<double>, __eskip array<bigint>,"
-                  " want boolean")
+                  " __esk0 bigint, want boolean")
 
     @staticmethod
     def _words(skip_slots, n_slots):
