@@ -4,6 +4,9 @@ Headline queries (BASELINE.md protocol):
   spatial_pipeline : interleaved spans synth -> extract geometries -> tile
                      assignment -> PIP sjoin vs zone layer -> count+checksum
                      (the north-rule metric; docs/sec reported alongside)
+  spatial_pipeline_ngon : 200k synthetic points x 750 64-gon zones through
+                     the fully-distributed chained-vertex pack path
+                     (tracks the high-vertex machinery per round)
   gridloop_tiles   : per-cell gridloop tile counts
   knn              : k=3 nearest zone centers per doc point
   near_dup         : MinHash-LSH + exact-Jaccard near-dup pairs
