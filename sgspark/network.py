@@ -286,6 +286,137 @@ def _min_plus_shortcuts(e: DataFrame, max_rows: int
             return T, hops, doublings
 
 
+def _local_graph_max_edges() -> int:
+    """Edge-count cap for the driver-side shortest-path fast path.  2M
+    directed edges x ~40 bytes ~ 80 MB of driver heap — the same order as
+    the spatial joins' byte-bounded broadcast cap.  Set to 0 to force the
+    distributed path (A/B kill switch)."""
+    import os
+    return int(os.environ.get("SGSPARK_LOCAL_GRAPH_EDGES", "2000000"))
+
+
+_LOCAL_ORIGIN_CELLS = 50_000_000  # |origins| x |nodes| driver matrix cap
+
+
+def _plan_maybe_small(df: DataFrame, cap_rows: int) -> bool:
+    """Plan-time screen for the bounded-graph probe: when Catalyst's size
+    estimate already proves the edge list is far over the cap, skip the
+    limit-collect probe entirely (no job).  Estimates are unreliable after
+    joins, so only an estimate > 64x the cap's worst-case bytes says no."""
+    try:
+        est = int(df._jdf.queryExecution().optimizedPlan()
+                  .stats().sizeInBytes())
+        if 0 < est < (1 << 62) and est > 64 * 40 * cap_rows:
+            return False
+    except Exception:
+        pass
+    return True
+
+
+def _shortest_paths_local(erows: list, e: DataFrame, origins: DataFrame
+                          ) -> DataFrame | None:
+    """Driver-side Bellman-Ford over a collected (bounded) edge list —
+    bit-identical to the distributed plain-BF fixpoint:
+
+      * relaxation arithmetic is the same IEEE ops in the same order
+        (cand = cost(u) + w; keep the min), iterated to the fixpoint, so
+        converged costs equal the distributed groupBy-min fixpoint;
+      * predecessors follow phase 3's rule exactly: pred(u) = min{p :
+        cost(p) + w(p, u) == cost(u)} on converged costs, origin rows
+        (cost 0, pred NULL) win ties because NULL sorts first in the
+        distributed min(struct(cost, pred)).
+
+    Returns None (caller falls back to the distributed path) when the
+    origin set is over-budget for a dense driver matrix."""
+    import numpy as np
+    import pandas as pd
+
+    spark = e.sparkSession
+    orows = origins.select("oid", "node").limit(100_001).collect()
+    if len(orows) > 100_000:
+        return None
+    src_l = [r[0] for r in erows]
+    dst_l = [r[1] for r in erows]
+    w = np.array([r[2] for r in erows], dtype=np.float64)
+    nodes = pd.unique(pd.Series(src_l + dst_l + [o[1] for o in orows],
+                                dtype=object))
+    nid = pd.Series(np.arange(len(nodes)), index=nodes)
+    n_nodes = len(nodes)
+    oids = pd.unique(pd.Series([o[0] for o in orows], dtype=object))
+    oidx = pd.Series(np.arange(len(oids)), index=oids)
+    if len(oids) * max(n_nodes, 1) > _LOCAL_ORIGIN_CELLS:
+        return None
+    src = nid.loc[src_l].to_numpy() if erows else np.zeros(0, dtype=np.int64)
+    dst = nid.loc[dst_l].to_numpy() if erows else np.zeros(0, dtype=np.int64)
+
+    dist = np.full((len(oids), n_nodes), np.inf)
+    for o in orows:
+        dist[oidx.loc[o[0]], nid.loc[o[1]]] = 0.0
+    oi_rep = np.repeat(np.arange(len(oids)), len(src))
+    dst_rep = np.tile(dst, len(oids))
+    rounds = 0
+    for _ in range(n_nodes + 1):
+        cand = (dist[:, src] + w[None, :]).ravel()
+        new = dist.copy()
+        np.minimum.at(new, (oi_rep, dst_rep), cand)
+        rounds += 1
+        if np.array_equal(new, dist):
+            break
+        dist = new
+    else:  # negative cycle — mirror the distributed non-convergence error
+        raise RuntimeError(
+            f"shortest_paths did not converge in {n_nodes + 1} rounds "
+            "(negative cycle?)")
+    last_run_stats.clear()
+    last_run_stats.update(shortcut_doublings=0, shortcut_hops=1,
+                          bf_rounds=rounds, local_graph=True)
+
+    # phase-3 predecessors on converged costs (vectorized per origin):
+    # among edges with cost(p) + w == cost(u), the smallest p; origins
+    # with cost 0 keep pred NULL (NULL sorts first in min(struct)).
+    out_oid, out_u, out_cost, out_pred = [], [], [], []
+    node_arr = np.asarray(nodes, dtype=object)
+    src_arr = np.asarray(src_l, dtype=object)
+    origin_nodes_by_oid: dict = {}
+    for o in orows:
+        origin_nodes_by_oid.setdefault(o[0], set()).add(o[1])
+    for k, oid in enumerate(oids):
+        d = dist[k]
+        reached = np.isfinite(d)
+        eq = reached[dst] & (d[src] + w == d[dst])
+        pred_of: dict = {}
+        for j in np.nonzero(eq)[0]:
+            u = dst[j]
+            p = src_arr[j]
+            cur = pred_of.get(u)
+            if cur is None or p < cur:
+                pred_of[u] = p
+        omask = origin_nodes_by_oid.get(oid, set())
+        for u in np.nonzero(reached)[0]:
+            un = node_arr[u]
+            pred = pred_of.get(u)
+            if un in omask and d[u] == 0.0:
+                pred = None
+            out_oid.append(oid)
+            out_u.append(un)
+            out_cost.append(float(d[u]))
+            out_pred.append(pred)
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+    oid_t = origins.schema["oid"].dataType
+    node_t = origins.schema["node"].dataType
+    schema = StructType([
+        StructField("oid", oid_t), StructField("u", node_t),
+        StructField("cost", DoubleType()), StructField("pred", node_t)])
+    pdf = pd.DataFrame({"oid": out_oid, "u": out_u, "cost": out_cost,
+                        "pred": out_pred})
+    sdf = spark.createDataFrame(pdf, schema=schema)
+    # side-channel for od_cost_matrix's local assembly (driver-sequential,
+    # same-call-chain only): the converged table as pandas
+    sdf._sgspark_local_pdf = pdf
+    return sdf
+
+
 def shortest_paths(edges: DataFrame, origins: DataFrame, *,
                    weight: str = "length", directed: bool = False,
                    max_iter: int = 50,
@@ -324,7 +455,46 @@ def shortest_paths(edges: DataFrame, origins: DataFrame, *,
                      F.col(weight).alias("w"))
     if not directed:
         e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"), "w"))
+
+    cap = _local_graph_max_edges()
+    if penalties is None and cap > 0 and _plan_maybe_small(e, cap):
+        # BOUNDED-GRAPH FAST PATH (round 7, guide §3.1/§5): a graph whose
+        # edge list fits comfortably on the driver is solved there — the
+        # same byte-bounded broadcast trade the spatial joins make.  The
+        # distributed path costs ~1 Spark job per shortcut doubling + BF
+        # round (each a full shuffle stage of pure latency on a small
+        # relation); the driver twin is exact: plain Bellman-Ford fixpoint
+        # with the identical relaxation arithmetic (cost + w, min), then
+        # the identical phase-3 predecessor rule min{p: cost(p) + w ==
+        # cost(u)}.  Large graphs (edge count above the cap, env
+        # SGSPARK_LOCAL_GRAPH_EDGES) keep the distributed
+        # shortcut-doubling path unchanged.  ONE bounded probe job: a
+        # limit(cap+1) collect — over-cap graphs stop pulling at the
+        # cap and fall through.
+        spark = e.sparkSession
+        try:
+            old_init = spark.conf.get("spark.sql.limit.initialNumPartitions")
+        except Exception:
+            old_init = None
+        try:
+            # all-partitions limit: ONE probe job instead of the default
+            # 1 -> 4 -> 16 -> ... incremental limit scan (4 jobs here)
+            spark.conf.set("spark.sql.limit.initialNumPartitions", "100000")
+            erows = e.limit(cap + 1).collect()
+        finally:
+            if old_init is None:
+                spark.conf.unset("spark.sql.limit.initialNumPartitions")
+            else:
+                spark.conf.set("spark.sql.limit.initialNumPartitions",
+                               old_init)
+        if len(erows) <= cap:
+            fast = _shortest_paths_local(erows, e, origins)
+            if fast is not None:
+                return fast
+        del erows
+
     e = e.localCheckpoint()
+    n_edges = e.count()
 
     if penalties is None:
         budget = shortcut_budget
@@ -334,7 +504,7 @@ def shortest_paths(edges: DataFrame, origins: DataFrame, *,
             # closure (whose self-joins cost more than the rounds they
             # save), while deep graphs still get k-hop shortcuts that
             # divide the round count by k
-            budget = max(16 * e.count(), 8_192)
+            budget = max(16 * n_edges, 8_192)
         T, hops, doublings = _min_plus_shortcuts(e, budget)
         dist = origins.select(F.col("oid"), F.col("node").alias("u"),
                               F.lit(0.0).alias("cost")).localCheckpoint()
@@ -424,6 +594,45 @@ def shortest_paths(edges: DataFrame, origins: DataFrame, *,
         "(graph deeper than max_iter hops); raise max_iter")
 
 
+def _od_matrix_local(spark, dist_pdf, origins: DataFrame,
+                     destinations: DataFrame) -> DataFrame | None:
+    """Driver-side assembly of the OD matrix when shortest_paths took the
+    bounded-graph fast path: replicates the distributed join shape row for
+    row (dest rows left-joined on node, then origins x dest-dids
+    left-joined on (oid, did); unreachable pairs NULL) without the two
+    shuffle joins + crossJoin over driver-local data.  Bounded: skips to
+    the distributed plan when origins or destinations exceed the probe
+    caps."""
+    import pandas as pd
+
+    dd = destinations.select("did", "node").limit(1_000_001).collect()
+    if len(dd) > 1_000_000:
+        return None
+    orows = origins.select("oid").limit(100_001).collect()
+    if len(orows) > 100_000 or len(orows) * len(dd) > _LOCAL_ORIGIN_CELLS:
+        return None
+    dd_df = pd.DataFrame({"did": pd.Series([r[0] for r in dd], dtype=object),
+                          "node": pd.Series([r[1] for r in dd],
+                                            dtype=object)})
+    oid_df = pd.DataFrame({"oid": pd.Series([r[0] for r in orows],
+                                            dtype=object)})
+    left = dist_pdf[["oid", "u", "cost"]].copy()
+    left["oid"] = left["oid"].astype(object)
+    out_rows = dd_df.merge(left.rename(columns={"u": "node"}),
+                           on="node", how="left")[["oid", "did", "cost"]]
+    cross = oid_df.merge(dd_df[["did"]], how="cross")
+    res = cross.merge(out_rows, on=["oid", "did"], how="left")
+    cost = [None if pd.isna(v) else float(v) for v in res["cost"]]
+    from pyspark.sql.types import DoubleType, StructField, StructType
+    schema = StructType([
+        StructField("oid", origins.schema["oid"].dataType),
+        StructField("did", destinations.schema["did"].dataType),
+        StructField("cost", DoubleType())])
+    pdf = pd.DataFrame({"oid": res["oid"], "did": res["did"],
+                        "cost": pd.Series(cost, dtype=object)})
+    return spark.createDataFrame(pdf, schema=schema)
+
+
 def od_cost_matrix(edges: DataFrame, origins: DataFrame,
                    destinations: DataFrame, *, weight: str = "length",
                    directed: bool = False, max_iter: int = 50) -> DataFrame:
@@ -437,6 +646,11 @@ def od_cost_matrix(edges: DataFrame, origins: DataFrame,
     """
     dist = shortest_paths(edges, origins, weight=weight, directed=directed,
                           max_iter=max_iter)
+    pdf = getattr(dist, "_sgspark_local_pdf", None)
+    if pdf is not None:
+        out = _od_matrix_local(dist.sparkSession, pdf, origins, destinations)
+        if out is not None:
+            return out
     out = destinations.select("did", F.col("node").alias("u")) \
         .join(dist, "u", "left")
     return (origins.select("oid").crossJoin(destinations.select("did"))
