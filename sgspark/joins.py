@@ -758,8 +758,8 @@ def _pip_sql(E: str, x: str, y: str, base: str = "0") -> str:
 # Unroll bounds: polygons within a tier get a whole-stage-codegen PIP
 # expression of that size; larger ones fall back to the interpreted
 # higher-order variant (HigherOrderFunction is CodegenFallback in Spark).
-PIP_UNROLL_EDGES = 32
-PIP_UNROLL_SMALL = 8  # sub-tier: simple shapes pay 8 terms, not 32
+PIP_UNROLL_EDGES = 16
+PIP_UNROLL_SMALL = 8  # sub-tier: simple shapes pay 8 terms, not 16
 
 
 def _pip_sql_unrolled(E: str, x: str, y: str,
@@ -834,21 +834,24 @@ def _point_poly_dist_sql(E: str, x: str, y: str, base: str = "0") -> str:
     lam = (f"aggregate(sequence(1, {sz}), {inf}, "
            f"(acc, i) -> least(acc, CASE WHEN {_eskip(E, 'i')} THEN {inf} "
            f"ELSE {_dist2_term(_eacc(E, 'i'), x, y)} END))")
+    mid = ("" if PIP_UNROLL_EDGES == PIP_UNROLL_SMALL else
+           f"WHEN {sz} <= {PIP_UNROLL_EDGES} "
+           f"THEN {unroll(PIP_UNROLL_EDGES)} ")
     d2 = (f"(CASE WHEN {sz} <= {PIP_UNROLL_SMALL} "
           f"THEN {unroll(PIP_UNROLL_SMALL)} "
-          f"WHEN {sz} <= {PIP_UNROLL_EDGES} "
-          f"THEN {unroll(PIP_UNROLL_EDGES)} ELSE {lam} END)")
+          f"{mid}ELSE {lam} END)")
     return (f"(CASE WHEN {_pip_sql_any(E, x, y, base)} THEN 0D "
             f"ELSE sqrt({d2}) END)")
 
 
 def _pip_sql_any(E: str, x: str, y: str, base: str = "0") -> str:
     """PIP without the rect shortcut (edge arrays present for every row)."""
+    mid = ("" if PIP_UNROLL_EDGES == PIP_UNROLL_SMALL else
+           f"WHEN {_esz(E)} <= {PIP_UNROLL_EDGES} "
+           f"THEN {_pip_sql_unrolled(E, x, y, base=base)} ")
     return (f"(CASE WHEN {_esz(E)} <= {PIP_UNROLL_SMALL} "
             f"THEN {_pip_sql_unrolled(E, x, y, PIP_UNROLL_SMALL, base)} "
-            f"WHEN {_esz(E)} <= {PIP_UNROLL_EDGES} "
-            f"THEN {_pip_sql_unrolled(E, x, y, base=base)} "
-            f"ELSE {_pip_sql(E, x, y, base)} END)")
+            f"{mid}ELSE {_pip_sql(E, x, y, base)} END)")
 
 
 def _pip_dispatch_sql(E: str, x: str, y: str, isrect: str,
@@ -863,12 +866,13 @@ def _pip_dispatch_sql(E: str, x: str, y: str, isrect: str,
     paths.  With the round-5 cell-subset pack, high-vertex polygons land
     in the codegen tiers too: each cover cell carries only its local
     edges and a base parity for the far-right remainder."""
+    mid = ("" if PIP_UNROLL_EDGES == PIP_UNROLL_SMALL else
+           f"WHEN {_esz(E)} <= {PIP_UNROLL_EDGES} "
+           f"THEN {_pip_sql_unrolled(E, x, y, base=base)} ")
     return (f"CASE WHEN {isrect} THEN true "
             f"WHEN {_esz(E)} <= {PIP_UNROLL_SMALL} "
             f"THEN {_pip_sql_unrolled(E, x, y, PIP_UNROLL_SMALL, base)} "
-            f"WHEN {_esz(E)} <= {PIP_UNROLL_EDGES} "
-            f"THEN {_pip_sql_unrolled(E, x, y, base=base)} "
-            f"ELSE {_pip_sql(E, x, y, base)} END")
+            f"{mid}ELSE {_pip_sql(E, x, y, base)} END")
 
 
 def _skip_words(skip_slots: list, n_slots: int) -> list:
@@ -983,10 +987,12 @@ def _seg_cross_sql(E: str, sx, sy, tx, ty) -> str:
         return f"({' OR '.join(terms)})"
     lam = (f"exists(sequence(1, {sz}), i -> (NOT {_eskip(E, 'i')}) AND "
            f"{_seg_touch_term(_eacc(E, 'i'), sx, sy, tx, ty)})")
+    mid = ("" if PIP_UNROLL_EDGES == PIP_UNROLL_SMALL else
+           f"WHEN {sz} <= {PIP_UNROLL_EDGES} "
+           f"THEN {unroll(PIP_UNROLL_EDGES)} ")
     return (f"(CASE WHEN {sz} <= {PIP_UNROLL_SMALL} "
             f"THEN {unroll(PIP_UNROLL_SMALL)} "
-            f"WHEN {sz} <= {PIP_UNROLL_EDGES} "
-            f"THEN {unroll(PIP_UNROLL_EDGES)} ELSE {lam} END)")
+            f"{mid}ELSE {lam} END)")
 
 
 def _seg_rect_cross_sql(x0, y0, x1, y1, sx, sy, tx, ty) -> str:
