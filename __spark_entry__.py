@@ -489,13 +489,19 @@ def _coverage_fixture(spark, sf_dir):
         "(k % 5) * 101 + 100, ' ', (k div 5) * 101 + 100, ', ', "
         "(k % 5) * 101, ' ', (k div 5) * 101 + 100, ', ', "
         "(k % 5) * 101, ' ', (k div 5) * 101, '))') AS geometry_wkt")
-    extra = spark.createDataFrame(
-        [(1000, "POLYGON ((-50 -50, 555 -50, 555 555, -50 555, -50 -50), "
-                "(-0.5 -0.5, -0.5 504.5, 504.5 504.5, 504.5 -0.5, "
-                "-0.5 -0.5))"),
-         (1001, "POLYGON ((50.5 49.5, 150.5 49.5, 150.5 149.5, "
-                "50.5 149.5, 50.5 49.5))")],
-        ["pid", "geometry_wkt"])
+    # pandas-backed createDataFrame (Arrow local relation, ONE partition,
+    # zero Python at execution) — the list form parallelized 2 rows over
+    # defaultParallelism pickled-RDD slices, and every downstream action
+    # paid a Python-runner round-trip per slice (round-7 profile: ~4s per
+    # action on this 27-row fixture).  Results are identical.
+    import pandas as _pd
+    extra = spark.createDataFrame(_pd.DataFrame({
+        "pid": _pd.array([1000, 1001], dtype="int64"),
+        "geometry_wkt": [
+            "POLYGON ((-50 -50, 555 -50, 555 555, -50 555, -50 -50), "
+            "(-0.5 -0.5, -0.5 504.5, 504.5 504.5, 504.5 -0.5, -0.5 -0.5))",
+            "POLYGON ((50.5 49.5, 150.5 49.5, 150.5 149.5, "
+            "50.5 149.5, 50.5 49.5))"]}))
     return wkt_to_wkb_df(base.unionByName(extra))
 
 
