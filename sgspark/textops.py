@@ -108,11 +108,28 @@ def near_dup_pairs(docs: DataFrame, *, text_col: str = "text",
     bounded by the candidate set, not the corpus; reused by both sides of
     the intersection join)."""
     from pyspark import StorageLevel
+    # single-file scans land in 1-2 partitions, and BOTH shingle consumers
+    # (sketch branch, candidate-verify branch) then run the explode+md5
+    # stage single-threaded (round-7 profile: 2 x 5.7s one-task stages at
+    # sf0.1).  Spread the docs first — but only when the input is narrower
+    # than the cluster, so wide inputs at scale don't pay a full-corpus
+    # shuffle for nothing.
+    spark = docs.sparkSession
+    par = int(spark.sparkContext.defaultParallelism)
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(2 * par)
     sh_raw = shingles(docs, text_col, id_col, width, distinct=False)
     cand = lsh_candidate_pairs(minhash_sketch(sh_raw, id_col, k), id_col, k)
     cand_ids = (cand.select(F.col("a").alias(id_col))
                 .union(cand.select(F.col("b").alias(id_col))).distinct())
-    sh_c = sh_raw.join(cand_ids, id_col, "left_semi").distinct() \
+    # semi-join the DOCS (not the exploded shingle stream) so the verify
+    # branch re-shingles only candidate documents: Catalyst cannot push a
+    # semi-join below the shingle generator, so the former
+    # shingles-then-filter shape re-exploded the whole corpus a second
+    # time (round 7; one full explode+distinct pass saved per call —
+    # identical sh_c by construction)
+    sh_c = shingles(docs.join(cand_ids, id_col, "left_semi"),
+                    text_col, id_col, width, distinct=False).distinct() \
         .persist(StorageLevel.MEMORY_AND_DISK)
     # set sizes are only consumed for CANDIDATE pairs, and sh_c is already
     # the distinct shingle set of exactly those docs — counting it skips
