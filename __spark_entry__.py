@@ -180,10 +180,16 @@ _LB = dict(x0="(s_suppkey % 10) * 390 + 15", y0="(s_suppkey div 10) * 370 + 21",
 
 def _lshape_layers(spark, sf_dir):
     from sgspark.io import wkt_to_wkb_df
-    a = spark.read.parquet(f"{sf_dir}/customer.parquet").selectExpr(
+    # single-file scans land in one partition; spread the keys BEFORE the
+    # WKT synthesis + parse kernel so it parallelizes (round 7 — the
+    # overlay_concave parse ran as two 0.8s one-task stages)
+    par = spark.sparkContext.defaultParallelism
+    a = spark.read.parquet(f"{sf_dir}/customer.parquet") \
+        .select("c_custkey").repartition(par).selectExpr(
         "c_custkey AS aid",
         _lshape_layer_sql("c_custkey", **_LA) + " AS geometry_wkt")
-    b = spark.read.parquet(f"{sf_dir}/supplier.parquet").selectExpr(
+    b = spark.read.parquet(f"{sf_dir}/supplier.parquet") \
+        .select("s_suppkey").repartition(par).selectExpr(
         "s_suppkey AS bid",
         _lshape_layer_sql("s_suppkey", **_LB) + " AS geometry_wkt")
     return wkt_to_wkb_df(a), wkt_to_wkb_df(b)

@@ -212,6 +212,19 @@ def cell_candidate_pairs(l0: DataFrame, r0: DataFrame, gridsize: float,
         .select("__rid", "__rg", "cell_key",
                 F.col("r_cminx").alias("__rminx"), F.col("r_cminy").alias("__rminy"),
                 F.col("r_cmaxx").alias("__rmaxx"), F.col("r_cmaxy").alias("__rmaxy"))
+    # pin the join shuffle at the configured width (round 7): the pair
+    # stream feeds compute-dense Arrow kernels (overlay booleans, refine),
+    # so AQE's byte-based coalescing — a few MB of ids+WKB — would fold
+    # the kernel stage down to one task and run minutes of geometry
+    # single-threaded (overlay_concave profile: one 7s task).  Same-key
+    # same-N repartitions are AQE-exempt and satisfy the join's
+    # distribution requirement, so no extra exchange is introduced.
+    try:
+        nparts = int(l0.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        nparts = 64
+    l = l.repartition(nparts, "cell_key")
+    r = r.repartition(nparts, "cell_key")
 
     # equi-join on cell + bbox-overlap as a JVM join filter: bbox-disjoint
     # cell cohabitants never reach the Python kernel
