@@ -106,7 +106,12 @@ def get_k_nearest_neighbors(left: DataFrame, right: DataFrame, k: int, *,
     g, rr = g0, R
     diag = None
     for rnd in range(max_rounds):
-        topk = _block_topk(unresolved, r, g, rr, k)
+        # lazy checkpoint: the round's top-k is consumed up to three times
+        # (exactness-guard aggregate, resolved piece, final union) and the
+        # block join + window re-ran for each consumer (round-7 profile:
+        # 3x ~0.6s stages at sf0.1); the first action materializes it once
+        topk = _block_topk(unresolved, r, g, rr, k) \
+            .localCheckpoint(eager=False)
         if diag is None and rnd > 0:
             # lazily priced only when a fallback round is actually needed
             if rb_bounds is None:

@@ -313,6 +313,28 @@ def _plan_maybe_small(df: DataFrame, cap_rows: int) -> bool:
     return True
 
 
+def _bounded_rows(df: DataFrame, cap: int) -> list:
+    """limit(cap+1).collect() as ONE job: the default incremental limit
+    executes 1 -> 4 -> 16 -> ... partition jobs, which is pure latency on
+    the small frames these probes target (and each job re-pays the python
+    runner when the frame is a parallelized local list).  Callers treat
+    len(rows) > cap as over-budget."""
+    spark = df.sparkSession
+    key = "spark.sql.limit.initialNumPartitions"
+    try:
+        old = spark.conf.get(key)
+    except Exception:
+        old = None
+    try:
+        spark.conf.set(key, "100000")
+        return df.limit(cap + 1).collect()
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
 def _shortest_paths_local(erows: list, e: DataFrame, origins: DataFrame
                           ) -> DataFrame | None:
     """Driver-side Bellman-Ford over a collected (bounded) edge list —
@@ -332,7 +354,7 @@ def _shortest_paths_local(erows: list, e: DataFrame, origins: DataFrame
     import pandas as pd
 
     spark = e.sparkSession
-    orows = origins.select("oid", "node").limit(100_001).collect()
+    orows = _bounded_rows(origins.select("oid", "node"), 100_000)
     if len(orows) > 100_000:
         return None
     src_l = [r[0] for r in erows]
@@ -412,8 +434,10 @@ def _shortest_paths_local(erows: list, e: DataFrame, origins: DataFrame
                         "pred": out_pred})
     sdf = spark.createDataFrame(pdf, schema=schema)
     # side-channel for od_cost_matrix's local assembly (driver-sequential,
-    # same-call-chain only): the converged table as pandas
+    # same-call-chain only): the converged table + the collected origin
+    # rows, so the OD assembly re-probes neither
     sdf._sgspark_local_pdf = pdf
+    sdf._sgspark_local_orows = orows
     return sdf
 
 
@@ -471,22 +495,7 @@ def shortest_paths(edges: DataFrame, origins: DataFrame, *,
         # shortcut-doubling path unchanged.  ONE bounded probe job: a
         # limit(cap+1) collect — over-cap graphs stop pulling at the
         # cap and fall through.
-        spark = e.sparkSession
-        try:
-            old_init = spark.conf.get("spark.sql.limit.initialNumPartitions")
-        except Exception:
-            old_init = None
-        try:
-            # all-partitions limit: ONE probe job instead of the default
-            # 1 -> 4 -> 16 -> ... incremental limit scan (4 jobs here)
-            spark.conf.set("spark.sql.limit.initialNumPartitions", "100000")
-            erows = e.limit(cap + 1).collect()
-        finally:
-            if old_init is None:
-                spark.conf.unset("spark.sql.limit.initialNumPartitions")
-            else:
-                spark.conf.set("spark.sql.limit.initialNumPartitions",
-                               old_init)
+        erows = _bounded_rows(e, cap)
         if len(erows) <= cap:
             fast = _shortest_paths_local(erows, e, origins)
             if fast is not None:
@@ -595,7 +604,8 @@ def shortest_paths(edges: DataFrame, origins: DataFrame, *,
 
 
 def _od_matrix_local(spark, dist_pdf, origins: DataFrame,
-                     destinations: DataFrame) -> DataFrame | None:
+                     destinations: DataFrame,
+                     orows: list | None = None) -> DataFrame | None:
     """Driver-side assembly of the OD matrix when shortest_paths took the
     bounded-graph fast path: replicates the distributed join shape row for
     row (dest rows left-joined on node, then origins x dest-dids
@@ -605,10 +615,12 @@ def _od_matrix_local(spark, dist_pdf, origins: DataFrame,
     caps."""
     import pandas as pd
 
-    dd = destinations.select("did", "node").limit(1_000_001).collect()
+    dd = _bounded_rows(destinations.select("did", "node"), 1_000_000)
     if len(dd) > 1_000_000:
         return None
-    orows = origins.select("oid").limit(100_001).collect()
+    if orows is None:
+        orows = [(r[0],) for r in
+                 _bounded_rows(origins.select("oid", "node"), 100_000)]
     if len(orows) > 100_000 or len(orows) * len(dd) > _LOCAL_ORIGIN_CELLS:
         return None
     dd_df = pd.DataFrame({"did": pd.Series([r[0] for r in dd], dtype=object),
@@ -648,7 +660,9 @@ def od_cost_matrix(edges: DataFrame, origins: DataFrame,
                           max_iter=max_iter)
     pdf = getattr(dist, "_sgspark_local_pdf", None)
     if pdf is not None:
-        out = _od_matrix_local(dist.sparkSession, pdf, origins, destinations)
+        out = _od_matrix_local(dist.sparkSession, pdf, origins, destinations,
+                               orows=getattr(dist, "_sgspark_local_orows",
+                                             None))
         if out is not None:
             return out
     out = destinations.select("did", F.col("node").alias("u")) \
