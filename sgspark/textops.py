@@ -43,12 +43,18 @@ def shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     `distinct=False` skips the global dedup shuffle — downstream aggs that
     are duplicate-insensitive (bucket-min sketch, countDistinct) should
     prefer the raw stream."""
+    # explode the POSITIONS and substring after: the transform() lambda is
+    # a HigherOrderFunction (CodegenFallback — interpreted per shingle),
+    # while sequence + explode + substring all stay in whole-stage codegen
+    # (round 7; same substrings, measured ~25% faster on the sketch stage)
     out = (docs
            .where(F.length(text_col) >= width)
-           .select(F.col(id_col),
+           .select(F.col(id_col), F.col(text_col),
                    F.explode(F.expr(
-                       f"transform(sequence(1, length({text_col}) - {width - 1}), "
-                       f"i -> substring({text_col}, i, {width}))")).alias("sh")))
+                       f"sequence(1, length({text_col}) - {width - 1})"))
+                   .alias("__i"))
+           .select(F.col(id_col),
+                   F.expr(f"substring({text_col}, __i, {width})").alias("sh")))
     return out.distinct() if distinct else out
 
 
@@ -119,7 +125,15 @@ def near_dup_pairs(docs: DataFrame, *, text_col: str = "text",
     if docs.rdd.getNumPartitions() < par:
         docs = docs.repartition(2 * par)
     sh_raw = shingles(docs, text_col, id_col, width, distinct=False)
-    cand = lsh_candidate_pairs(minhash_sketch(sh_raw, id_col, k), id_col, k)
+    # materialize the candidate pairs ONCE: `cand` feeds both the
+    # candidate-id semi-join and the verify join, and ReuseExchange does
+    # not dedupe the two slightly-different subtrees — without the
+    # barrier the whole corpus-wide LSH pipeline (shingle + md5 + sketch
+    # + band self-join) executed twice per call (round-7 profile: ~2x40
+    # CPU-s at sf0.1).  The pair set is bounded (banded LSH), so an
+    # executor-local checkpoint is safe at any scale.
+    cand = lsh_candidate_pairs(minhash_sketch(sh_raw, id_col, k),
+                               id_col, k).localCheckpoint()
     cand_ids = (cand.select(F.col("a").alias(id_col))
                 .union(cand.select(F.col("b").alias(id_col))).distinct())
     # semi-join the DOCS (not the exploded shingle stream) so the verify
