@@ -164,7 +164,13 @@ def get_k_nearest_points_for_deadends(lines: DataFrame, k: int,
     Output: (node, k_rank, distance, x, y) — x/y on the segment."""
     e = lines if {"source", "target"} <= set(lines.columns) \
         else make_node_ids(lines)
-    e = e.withColumn("__line", F.monotonically_increasing_id())
+    # materialize the minted line ids: monotonically_increasing_id is
+    # partition-order-dependent, and two independently recomputed plan
+    # branches (deg/dead vs segs) could otherwise mint DIFFERENT ids for
+    # the same line under nondeterministic upstream partitioning, silently
+    # breaking the own-line exclusion below (ADVICE r6, medium)
+    e = e.withColumn("__line", F.monotonically_increasing_id()) \
+        .localCheckpoint()
     deg = (e.select(F.col("source").alias("node"), "__line")
            .unionByName(e.select(F.col("target").alias("node"), "__line"))
            .groupBy("node").agg(F.count("*").alias("deg"),
