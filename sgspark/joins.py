@@ -219,12 +219,32 @@ def cell_candidate_pairs(l0: DataFrame, r0: DataFrame, gridsize: float,
     # single-threaded (overlay_concave profile: one 7s task).  Same-key
     # same-N repartitions are AQE-exempt and satisfy the join's
     # distribution requirement, so no extra exchange is introduced.
-    try:
-        nparts = int(l0.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    except Exception:
-        nparts = 64
-    l = l.repartition(nparts, "cell_key")
-    r = r.repartition(nparts, "cell_key")
+    # Provably-TINY inputs (both sides' Catalyst size estimates known and
+    # under a few MB, AND both plans python-free — cached layers / plain
+    # scans) skip the pin and keep AQE's coalescing: their kernel work is
+    # sub-second even single-task, while a 2x-cores-wide stage is pure
+    # scheduling latency.  Size estimates BELOW Python kernels are not
+    # trustworthy (Spark propagates the child's bytes through
+    # MapInPandas), so any python-producing side pins regardless.
+    def _est(df):
+        try:
+            v = int(df._jdf.queryExecution().optimizedPlan()
+                    .stats().sizeInBytes())
+            return v if 0 < v < (1 << 62) else None
+        except Exception:
+            return None
+    el, er = _est(l0), _est(r0)
+    tiny = (el is not None and er is not None
+            and el < (4 << 20) and er < (4 << 20)
+            and plan_is_python_free(l0) and plan_is_python_free(r0))
+    if not tiny:
+        try:
+            nparts = int(
+                l0.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        except Exception:
+            nparts = 64
+        l = l.repartition(nparts, "cell_key")
+        r = r.repartition(nparts, "cell_key")
 
     # equi-join on cell + bbox-overlap as a JVM join filter: bbox-disjoint
     # cell cohabitants never reach the Python kernel
