@@ -102,9 +102,12 @@ def _salted_bucket_pairs(bucketed: DataFrame, *, symmetric: bool,
     hot.  One cheap max-aggregate over the (already-required) counts
     decides at plan time: when `max(_bn) <= max_bucket` the plain
     self-join is taken — identical pair set by construction (every salt
-    factor would be 1).  `bucketed` is persisted so the probe job does
-    not recompute the SRP projections the real join needs again."""
-    bucketed = bucketed.persist()
+    factor would be 1).  `bucketed` is materialized (executor-local
+    checkpoint) so the probe job does not recompute the SRP projections
+    the real join needs again; unlike the former session-lifetime
+    persist(), the blocks are released when the plan is garbage
+    collected (ADVICE r6)."""
+    bucketed = bucketed.localCheckpoint()
     counts = bucketed.groupBy("bucket").agg(F.count("*").alias("_bn"))
     cond = (F.col("a") != F.col("b")) if symmetric else \
         (F.col("a") < F.col("b"))
