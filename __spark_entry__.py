@@ -294,7 +294,7 @@ def q_buffdiss(spark, sf_dir):
     # the CPU-heavy buffer kernel must not inherit the single-file scan's
     # 1-2 partitions: spread rows across the cluster first (cheap shuffle
     # of ids+WKB vs per-row offset trimming)
-    par = spark.sparkContext.defaultParallelism * 2
+    par = spark.sparkContext.defaultParallelism
     a = a.withColumn("band", F.expr("aid div 40")) \
          .select("band", "geometry", "minx", "miny", "maxx", "maxy") \
          .repartition(par)

@@ -218,8 +218,11 @@ def documents_with_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield gen_documents_pdf(pdf["doc_id"].to_numpy())
 
     # single-file parquet reads land in ONE partition — rebalance so span
-    # synthesis / extraction parallelize (scaling-critical)
-    par = max(int(spark.sparkContext.defaultParallelism) * 2, 8)
+    # synthesis / extraction parallelize (scaling-critical).  Width = the
+    # core count, not 2x: each Python-kernel task carries a fixed runner
+    # round-trip (~10-15ms serialized, measured round 7), so fewer,
+    # larger tasks win at every scale (guide §2.2)
+    par = max(int(spark.sparkContext.defaultParallelism), 8)
     return flat.select("doc_id").repartition(par).mapInPandas(
         gen, schema=DOC_SCHEMA)
 

@@ -123,7 +123,7 @@ def near_dup_pairs(docs: DataFrame, *, text_col: str = "text",
     spark = docs.sparkSession
     par = int(spark.sparkContext.defaultParallelism)
     if docs.rdd.getNumPartitions() < par:
-        docs = docs.repartition(2 * par)
+        docs = docs.repartition(par)
     sh_raw = shingles(docs, text_col, id_col, width, distinct=False)
     # materialize the candidate pairs ONCE: `cand` feeds both the
     # candidate-id semi-join and the verify join, and ReuseExchange does
