@@ -214,9 +214,12 @@ def get_k_nearest_points_for_deadends(lines: DataFrame, k: int,
             .withColumn("distance", F.expr(
                 "sqrt((__px - x) * (__px - x) + (__py - y) * (__py - y))"))
             .where(F.col("distance") <= float(max_distance)))
+    # __line appended as the final key: two candidate segments on
+    # DIFFERENT lines can tie on all four leading keys (duplicate
+    # geometries), which made the k cutoff nondeterministic (ADVICE r6)
     w = Window.partitionBy("node").orderBy(
         F.col("distance").asc(), F.col("x").asc(), F.col("y").asc(),
-        F.col("segment_idx").asc())
+        F.col("segment_idx").asc(), F.col("__line").asc())
     return (cand.withColumn("k_rank", F.row_number().over(w))
             .where(F.col("k_rank") <= int(k))
             .select("node", F.col("k_rank").cast("long").alias("k_rank"),
